@@ -1,0 +1,150 @@
+"""Benchmark: BA LM iterations/s at 10k landmarks (BASELINE.md north star).
+
+Runs the flagship solve — full LM iterations (linearize, Schur elimination,
+PCG with SCHUR_JACOBI preconditioning, retraction) — on a synthetic problem
+with 10,000 landmarks on the default jax backend (the real TPU chip under the
+driver), and compares against the same computation on host CPU (the
+reference is a CPU library; this is the closest available
+apples-to-apples denominator since libwave publishes no numbers).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_problem(num_poses=200, num_landmarks=10_000, obs_per_pose=300, seed=0):
+    """Synthetic BA problem with ~num_poses*obs_per_pose observations."""
+    import jax
+    import jax.numpy as jnp
+
+    from libwave_tpu.optim import BAProblem, BAState
+
+    rng = np.random.default_rng(seed)
+    # landmarks in a ring around a circular trajectory
+    lm = np.stack(
+        [
+            rng.uniform(-50, 50, num_landmarks),
+            rng.uniform(-50, 50, num_landmarks),
+            rng.uniform(-2, 2, num_landmarks),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    theta = np.linspace(0, 2 * np.pi, num_poses, endpoint=False)
+    p = np.stack(
+        [10 * np.cos(theta), 10 * np.sin(theta), np.zeros_like(theta)], axis=-1
+    ).astype(np.float32)
+    # camera yaw follows the tangent; q = exp([0,0,yaw]) * q_BC
+    from libwave_tpu.geometry import so3
+    from libwave_tpu.sim.vo_dataset import q_BC
+
+    yaw = theta + np.pi / 2
+    omega = np.zeros((num_poses, 3), dtype=np.float32)
+    omega[:, 2] = yaw
+    q = so3.quat_multiply(
+        so3.exp_quat(jnp.asarray(omega)), q_BC(jnp.float32)
+    )
+
+    K_obs = num_poses * obs_per_pose
+    pose_idx = np.repeat(np.arange(num_poses, dtype=np.int32), obs_per_pose)
+    lm_idx = rng.integers(0, num_landmarks, K_obs).astype(np.int32)
+
+    Kmat = jnp.asarray(
+        [[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]], dtype=jnp.float32
+    )
+    from libwave_tpu.vision.camera import pinhole_project
+
+    uv, in_front = pinhole_project(
+        Kmat, q[pose_idx], jnp.asarray(p)[pose_idx], jnp.asarray(lm)[lm_idx]
+    )
+    weight = in_front.astype(jnp.float32)
+
+    free = np.ones(num_poses, dtype=np.float32)
+    free[:2] = 0
+    problem = BAProblem(
+        K=Kmat,
+        pose_idx=jnp.asarray(pose_idx),
+        lm_idx=jnp.asarray(lm_idx),
+        uv=uv,
+        weight=weight,
+        free_pose=jnp.asarray(free),
+    )
+    state = BAState(
+        q=q.astype(jnp.float32),
+        p=jnp.asarray(p),
+        lm=jnp.asarray(lm) + 0.1,
+    )
+    return problem, state
+
+
+def bench_backend(problem, state, iters=10, warmup=2):
+    import jax
+    import jax.numpy as jnp
+
+    from libwave_tpu.optim import BAConfig
+    from libwave_tpu.optim.ba import _lm_iteration, ba_cost
+
+    cfg = BAConfig(cg_max_iters=20, cg_tol=1e-5)
+
+    @jax.jit
+    def step(state, lam):
+        cost = ba_cost(problem, state)
+        carry = (state, lam, cost, jnp.asarray(False))
+        (new_state, new_lam, new_cost, _), _ = _lm_iteration(
+            problem, cfg, carry, None
+        )
+        return new_state, new_lam, new_cost
+
+    lam = jnp.asarray(1e-4, dtype=jnp.float32)
+    s = state
+    for _ in range(warmup):
+        s, lam, cost = step(s, lam)
+    jax.block_until_ready(s)
+
+    t0 = time.perf_counter()
+    s, lam = state, jnp.asarray(1e-4, dtype=jnp.float32)
+    for _ in range(iters):
+        s, lam, cost = step(s, lam)
+    jax.block_until_ready(s)
+    dt = time.perf_counter() - t0
+    return iters / dt, float(cost)
+
+
+def main():
+    import jax
+
+    problem, state = make_problem()
+    device_rate, cost = bench_backend(problem, state)
+    backend = jax.default_backend()
+
+    # CPU denominator (reference-class hardware), same computation
+    cpu_rate = None
+    try:
+        cpu = jax.devices("cpu")
+        cpu_problem = jax.device_put(problem, cpu[0])
+        cpu_state = jax.device_put(state, cpu[0])
+        with jax.default_device(cpu[0]):
+            cpu_rate, _ = bench_backend(cpu_problem, cpu_state, iters=4)
+    except Exception:
+        pass
+
+    vs = device_rate / cpu_rate if cpu_rate else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": f"ba_lm_iterations_per_s_10k_landmarks_{backend}",
+                "value": round(device_rate, 3),
+                "unit": "iter/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

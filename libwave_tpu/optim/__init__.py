@@ -1,0 +1,28 @@
+"""Factor-graph optimization back end (parity: wave_optimization + wave_gtsam).
+
+The reference delegates to Ceres (SPARSE_SCHUR + SCHUR_JACOBI, 8 CPU threads;
+wave_optimization/src/ceres/ba.cpp:43-60) and GTSAM (LM over manifold states).
+Here the whole solve runs on device as fixed-shape batched linear algebra:
+
+- factor *banks*: every factor type is a struct-of-arrays over its instances,
+  linearized with one vmap (residual + hand-derived manifold Jacobians);
+- normal equations assembled by segment-sums (the MXU-friendly analog of
+  sparse assembly);
+- landmarks eliminated by batched 3x3 block inversion (Schur complement);
+- the reduced camera system solved matrix-free by preconditioned CG with the
+  block-Jacobi (SCHUR_JACOBI) preconditioner;
+- Levenberg-Marquardt trust-region loop as a ``lax.scan``.
+"""
+
+from libwave_tpu.optim.ba import (  # noqa: F401
+    BAConfig,
+    BAProblem,
+    BAState,
+    ba_cost,
+    ba_from_dataset,
+    solve_ba,
+)
+from libwave_tpu.optim.reprojection import (  # noqa: F401
+    reprojection_residual,
+    linearize_reprojection,
+)

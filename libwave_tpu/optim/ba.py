@@ -1,0 +1,298 @@
+"""Bundle adjustment: problem container + Levenberg-Marquardt driver.
+
+Capability parity with the reference's ``BundleAdjustment``
+(wave_optimization/include/wave/optimization/ceres/ba.hpp:95,
+src/ceres/ba.cpp:5-60: per-observation AutoDiffCostFunction<2,4,3,3> +
+EigenQuaternionParameterization, solved with SPARSE_SCHUR/SCHUR_JACOBI) and
+the GTSAM offline VO example's LM optimization
+(wave_gtsam/tests/gtsam/gtsam_offline_example.cpp:133).
+
+TPU-first design: the problem is a fixed-shape observation bank
+(pose_idx, lm_idx, uv, weight). One LM iteration = vmapped closed-form
+linearization -> segment-sum normal equations -> batched 3x3 landmark
+elimination -> matrix-free PCG on the reduced camera system ->
+back-substitution -> manifold retraction, with trust-region lambda update on
+cost decrease. The whole solve is a single jit-able ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from libwave_tpu.geometry import so3
+from libwave_tpu.optim import pose_graph, schur
+from libwave_tpu.optim.reprojection import (
+    linearize_reprojection,
+    reprojection_residual,
+)
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape bundle-adjustment problem.
+
+    ``between``/``priors`` optionally add pose-graph factors (odometry and
+    pose priors, the reference's BetweenFactor/PriorFactor graph structure);
+    ``None`` means absent.
+    """
+
+    K: jnp.ndarray  # (3, 3) intrinsics
+    pose_idx: jnp.ndarray  # (K_,) int32 — observation -> pose
+    lm_idx: jnp.ndarray  # (K_,) int32 — observation -> landmark
+    uv: jnp.ndarray  # (K_, 2) pixel measurements
+    weight: jnp.ndarray  # (K_,) 0 for padding/invalid observations
+    free_pose: jnp.ndarray  # (N,) 1.0 free / 0.0 gauge-fixed
+    between: object = None  # BetweenBank | None
+    priors: object = None  # PriorBank | None
+
+    @property
+    def num_poses(self) -> int:
+        return self.free_pose.shape[0]
+
+
+class BAState(NamedTuple):
+    """Optimizable variables: camera poses (q_GC, p_GC) and landmarks."""
+
+    q: jnp.ndarray  # (N, 4) camera orientations (camera-to-world)
+    p: jnp.ndarray  # (N, 3) camera positions
+    lm: jnp.ndarray  # (M, 3) landmark positions
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    max_iterations: int = 20
+    cg_max_iters: int = 100
+    cg_tol: float = 1e-6
+    init_lambda: float = 1e-4
+    lambda_up: float = 4.0
+    lambda_down: float = 0.5
+    min_lambda: float = 1e-8
+    max_lambda: float = 1e6
+    # GTSAM-style stopping (LevenbergMarquardtParams relativeErrorTol /
+    # absoluteErrorTol): once an accepted step improves cost by less than
+    # these, the solve freezes — this is what keeps poorly-constrained
+    # landmarks from creeping along near-null directions.
+    relative_decrease_tol: float = 1e-5
+    absolute_decrease_tol: float = 1e-9
+
+    def validate(self):
+        if self.max_iterations <= 0:
+            raise ValueError("max_iterations must be > 0")
+
+
+def ba_cost(problem: BAProblem, state: BAState) -> jnp.ndarray:
+    """0.5 * weighted squared reprojection error + pose-graph factor cost."""
+    r, _ = reprojection_residual(
+        problem.K,
+        state.q[problem.pose_idx],
+        state.p[problem.pose_idx],
+        state.lm[problem.lm_idx],
+        problem.uv,
+    )
+    c = 0.5 * jnp.sum(problem.weight * jnp.sum(r * r, axis=-1))
+    return c + pose_graph.pose_graph_cost(
+        state.q, state.p, problem.between, problem.priors
+    )
+
+
+def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _):
+    state, lam, cost, converged = carry
+    N = problem.free_pose.shape[0]
+    M = state.lm.shape[0]
+
+    r, J_pose, J_lm, valid = linearize_reprojection(
+        problem.K,
+        state.q[problem.pose_idx],
+        state.p[problem.pose_idx],
+        state.lm[problem.lm_idx],
+        problem.uv,
+    )
+    w = problem.weight * valid.astype(r.dtype)
+
+    # pose-graph factor contributions (odometry between-factors + priors)
+    extra_Hpp = None
+    extra_bp = None
+    couplings = None
+    if problem.between is not None:
+        rb, Ji, Jj = pose_graph.linearize_between(
+            problem.between, state.q, state.p
+        )
+        JiT = jnp.swapaxes(Ji, -1, -2)
+        JjT = jnp.swapaxes(Jj, -1, -2)
+        bi, bj = problem.between.i, problem.between.j
+        extra_Hpp = jax.ops.segment_sum(
+            JiT @ Ji, bi, num_segments=N
+        ) + jax.ops.segment_sum(JjT @ Jj, bj, num_segments=N)
+        extra_bp = jax.ops.segment_sum(
+            -jnp.einsum("fij,fj->fi", JiT, rb), bi, num_segments=N
+        ) + jax.ops.segment_sum(
+            -jnp.einsum("fij,fj->fi", JjT, rb), bj, num_segments=N
+        )
+        couplings = (JiT @ Jj, bi, bj)
+    if problem.priors is not None:
+        rp, Jp = pose_graph.linearize_prior(problem.priors, state.q, state.p)
+        JpT = jnp.swapaxes(Jp, -1, -2)
+        pi = problem.priors.i
+        add_H = jax.ops.segment_sum(JpT @ Jp, pi, num_segments=N)
+        add_b = jax.ops.segment_sum(
+            -jnp.einsum("fij,fj->fi", JpT, rp), pi, num_segments=N
+        )
+        extra_Hpp = add_H if extra_Hpp is None else extra_Hpp + add_H
+        extra_bp = add_b if extra_bp is None else extra_bp + add_b
+
+    blocks = schur.build_normal_equations(
+        r, J_pose, J_lm, w, problem.pose_idx, problem.lm_idx,
+        N, M, lam, problem.free_pose,
+        extra_Hpp=extra_Hpp, extra_bp=extra_bp, couplings=couplings,
+    )
+    rhs = schur.schur_rhs(blocks)
+    cg = schur.pcg(blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol)
+    dx_pose = cg.x
+    dx_lm = schur.back_substitute(blocks, dx_pose)
+
+    free = problem.free_pose[:, None]
+    new_state = BAState(
+        q=so3.quat_boxplus(state.q, dx_pose[:, 0:3] * free),
+        p=state.p + dx_pose[:, 3:6] * free,
+        lm=state.lm + dx_lm,
+    )
+    new_cost = ba_cost(problem, new_state)
+    accept = (new_cost < cost) & ~converged
+    decrease = cost - new_cost
+    converged = converged | (
+        accept
+        & (decrease < cfg.relative_decrease_tol * cost + cfg.absolute_decrease_tol)
+    )
+    state = jax.tree.map(
+        lambda new, old: jnp.where(accept, new, old), new_state, state
+    )
+    cost = jnp.where(accept, new_cost, cost)
+    lam = jnp.where(
+        converged,
+        lam,
+        jnp.clip(
+            jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up),
+            cfg.min_lambda,
+            cfg.max_lambda,
+        ),
+    )
+    return (state, lam, cost, converged), (cost, accept, cg.iterations)
+
+
+def solve_ba(problem: BAProblem, state: BAState, cfg: BAConfig = BAConfig()):
+    """Run LM to convergence budget. Returns (state, info dict of arrays).
+
+    jit-able; wrap in jax.jit for production use.
+    """
+    lam0 = jnp.asarray(cfg.init_lambda, dtype=state.p.dtype)
+    cost0 = ba_cost(problem, state)
+    carry = (state, lam0, cost0, jnp.asarray(False))
+    carry, (costs, accepts, cg_iters) = jax.lax.scan(
+        lambda c, x: _lm_iteration(problem, cfg, c, x),
+        carry,
+        None,
+        length=cfg.max_iterations,
+    )
+    state, lam, cost, _ = carry
+    info = {
+        "initial_cost": cost0,
+        "final_cost": cost,
+        "costs": costs,
+        "accepted": accepts,
+        "cg_iterations": cg_iters,
+        "final_lambda": lam,
+    }
+    return state, info
+
+
+def ba_from_dataset(
+    dataset, noise_pixels=0.0, key=None, max_obs=None,
+    with_odometry=False, with_priors=False,
+):
+    """Build a BAProblem + ground-truth BAState from a synthetic VoDataset
+    (the pattern of the reference's ba_test.cpp:62-193: dataset -> addCamera
+    per state -> solve). Camera poses are q_GC = q_GB * q_BC.
+
+    Only frames where the camera triggered become poses. Returns
+    (problem, gt_state) — callers perturb gt_state for the initial guess.
+    """
+    import numpy as np
+
+    from libwave_tpu.sim.vo_dataset import q_BC
+
+    vis = np.asarray(dataset.visible)
+    trig = np.asarray(dataset.frame_has_obs)
+    frames = np.nonzero(trig)[0]
+    M = dataset.landmarks.shape[0]
+
+    q_GB = np.asarray(dataset.robot_q_GB)[frames]
+    p_GB = np.asarray(dataset.robot_p_GB)[frames]
+    qbc = np.asarray(q_BC(dataset.robot_q_GB.dtype))
+    q_GC = np.asarray(so3.quat_multiply(jnp.asarray(q_GB), jnp.asarray(qbc)))
+
+    pose_idx, lm_idx, uv = [], [], []
+    for fi, f in enumerate(frames):
+        ids = np.nonzero(vis[f])[0]
+        for j in ids:
+            pose_idx.append(fi)
+            lm_idx.append(j)
+            uv.append(np.asarray(dataset.pixels)[f, j])
+    pose_idx = np.asarray(pose_idx, dtype=np.int32)
+    lm_idx = np.asarray(lm_idx, dtype=np.int32)
+    uv = np.asarray(uv)
+    if key is not None and noise_pixels > 0:
+        uv = uv + noise_pixels * np.asarray(
+            jax.random.normal(key, uv.shape, dtype=jnp.float64)
+        )
+    if max_obs is not None and len(pose_idx) > max_obs:
+        pose_idx, lm_idx, uv = (
+            pose_idx[:max_obs], lm_idx[:max_obs], uv[:max_obs]
+        )
+
+    N = len(frames)
+    free = np.ones(N)
+    free[:2] = 0.0  # gauge: fix first two poses (ba_test.cpp:156-161)
+
+    gt = BAState(
+        q=jnp.asarray(q_GC), p=jnp.asarray(p_GB), lm=dataset.landmarks
+    )
+
+    between = None
+    priors = None
+    if with_odometry:
+        # ground-truth relative poses with tight sigmas, mirroring
+        # gtsam_offline_example.cpp:62-74 (rot 1e-3, trans 1e-4)
+        between = pose_graph.between_from_trajectory(
+            gt.q, gt.p, sigmas_rot=1e-3, sigmas_trans=1e-4
+        )
+    if with_priors:
+        # priors on the first two poses (offline_example.cpp:123-130:
+        # sigmas rot 1e-5, trans 1e-6); poses then stay free (soft gauge)
+        free[:] = 1.0
+        priors = pose_graph.PriorBank(
+            i=jnp.asarray([0, 1], dtype=jnp.int32),
+            q=gt.q[:2],
+            p=gt.p[:2],
+            sqrt_info=jnp.concatenate(
+                [
+                    jnp.full((2, 3), 1e5, dtype=uv.dtype),
+                    jnp.full((2, 3), 1e6, dtype=uv.dtype),
+                ],
+                axis=-1,
+            ),
+        )
+
+    problem = BAProblem(
+        K=jnp.asarray(dataset.camera_K),
+        pose_idx=jnp.asarray(pose_idx),
+        lm_idx=jnp.asarray(lm_idx),
+        uv=jnp.asarray(uv),
+        weight=jnp.ones(len(pose_idx), dtype=uv.dtype),
+        free_pose=jnp.asarray(free, dtype=uv.dtype),
+        between=between,
+        priors=priors,
+    )
+    return problem, gt

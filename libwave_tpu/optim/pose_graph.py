@@ -1,0 +1,136 @@
+"""Pose-graph factor banks: between (odometry) factors and pose priors.
+
+Capability parity with the factors the reference's offline VO pipeline puts in
+its GTSAM graph besides projections (wave_gtsam/tests/gtsam/
+gtsam_offline_example.cpp:62-74 ``BetweenFactor<Pose3>`` odometry with diagonal
+sigmas, :123-130 ``PriorFactor<Pose3>`` gauge priors), and with the motion/
+prior factor family of wave_gtsam (pose_prior.hpp:14, motion_factor.hpp:31).
+
+Residual conventions (product manifold (q, p), right perturbation):
+
+  between(i, j; meas):  r = [ log(q_meas⁻¹ ⊗ q_i⁻¹ ⊗ q_j),
+                              R_i^T (p_j - p_i) - p_meas ] * sqrt_info
+  prior(i; meas):       r = [ log(q_meas⁻¹ ⊗ q_i),  p_i - p_meas ] * sqrt_info
+
+Jacobians come from ``jax.jacfwd`` over the boxplus-perturbed residual,
+vmapped over the bank — exact manifold Jacobians without hand derivation
+(the factors are 6-dim; this is cheap and XLA fuses it).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from libwave_tpu.geometry import so3
+
+
+class BetweenBank(NamedTuple):
+    """F between-factors (i -> j relative pose measurements)."""
+
+    i: jnp.ndarray  # (F,) int32
+    j: jnp.ndarray  # (F,) int32
+    dq: jnp.ndarray  # (F, 4) measured q_i⁻¹ ⊗ q_j
+    dp: jnp.ndarray  # (F, 3) measured R_i^T (p_j - p_i)
+    sqrt_info: jnp.ndarray  # (F, 6) diagonal sqrt information [rot, trans]
+
+
+class PriorBank(NamedTuple):
+    """P unary pose priors."""
+
+    i: jnp.ndarray  # (P,) int32
+    q: jnp.ndarray  # (P, 4)
+    p: jnp.ndarray  # (P, 3)
+    sqrt_info: jnp.ndarray  # (P, 6)
+
+
+def between_from_trajectory(q, p, sigmas_rot, sigmas_trans, stride: int = 1):
+    """Build consecutive-pose odometry measurements from a (noise-free)
+    trajectory, as the reference does from ground truth
+    (gtsam_offline_example.cpp:62-74)."""
+    i = jnp.arange(0, q.shape[0] - stride, dtype=jnp.int32)
+    j = i + stride
+    qi_inv = so3.quat_inverse(q[i])
+    dq = so3.quat_multiply(qi_inv, q[j])
+    dp = so3.quat_rotate(qi_inv, p[j] - p[i])
+    si = jnp.concatenate(
+        [
+            jnp.full((i.shape[0], 3), 1.0 / sigmas_rot, dtype=p.dtype),
+            jnp.full((i.shape[0], 3), 1.0 / sigmas_trans, dtype=p.dtype),
+        ],
+        axis=-1,
+    )
+    return BetweenBank(i=i, j=j, dq=dq, dp=dp, sqrt_info=si)
+
+
+def _between_residual(qi, pi, qj, pj, dq, dp, sqrt_info):
+    qi_inv = so3.quat_inverse(qi)
+    r_rot = so3.log_quat(
+        so3.quat_multiply(so3.quat_inverse(dq), so3.quat_multiply(qi_inv, qj))
+    )
+    r_pos = so3.quat_rotate(qi_inv, pj - pi) - dp
+    return jnp.concatenate([r_rot, r_pos], axis=-1) * sqrt_info
+
+
+def _prior_residual(qi, pi, q0, p0, sqrt_info):
+    r_rot = so3.log_quat(so3.quat_multiply(so3.quat_inverse(q0), qi))
+    return jnp.concatenate([r_rot, pi - p0], axis=-1) * sqrt_info
+
+
+def linearize_between(bank: BetweenBank, q, p):
+    """Returns (r (F,6), Ji (F,6,6), Jj (F,6,6)) in [omega, dp] tangent order."""
+
+    def one(i, j, dq, dp, si):
+        qi, pi, qj, pj = q[i], p[i], q[j], p[j]
+
+        def res(xi_i, xi_j):
+            return _between_residual(
+                so3.quat_boxplus(qi, xi_i[0:3]),
+                pi + xi_i[3:6],
+                so3.quat_boxplus(qj, xi_j[0:3]),
+                pj + xi_j[3:6],
+                dq, dp, si,
+            )
+
+        z = jnp.zeros(6, dtype=p.dtype)
+        r = res(z, z)
+        Ji = jax.jacfwd(res, argnums=0)(z, z)
+        Jj = jax.jacfwd(res, argnums=1)(z, z)
+        return r, Ji, Jj
+
+    return jax.vmap(one)(bank.i, bank.j, bank.dq, bank.dp, bank.sqrt_info)
+
+
+def linearize_prior(bank: PriorBank, q, p):
+    """Returns (r (P,6), J (P,6,6))."""
+
+    def one(i, q0, p0, si):
+        qi, pi = q[i], p[i]
+
+        def res(xi):
+            return _prior_residual(
+                so3.quat_boxplus(qi, xi[0:3]), pi + xi[3:6], q0, p0, si
+            )
+
+        z = jnp.zeros(6, dtype=p.dtype)
+        return res(z), jax.jacfwd(res)(z)
+
+    return jax.vmap(one)(bank.i, bank.q, bank.p, bank.sqrt_info)
+
+
+def pose_graph_cost(q, p, between: BetweenBank | None, priors: PriorBank | None):
+    c = jnp.asarray(0.0, dtype=p.dtype)
+    if between is not None:
+        r = _between_residual(
+            q[between.i], p[between.i], q[between.j], p[between.j],
+            between.dq, between.dp, between.sqrt_info,
+        )
+        c = c + 0.5 * jnp.sum(r * r)
+    if priors is not None:
+        r = _prior_residual(
+            q[priors.i], p[priors.i], priors.q, priors.p, priors.sqrt_info
+        )
+        c = c + 0.5 * jnp.sum(r * r)
+    return c

@@ -1,0 +1,217 @@
+"""Schur-complement elimination of landmarks + preconditioned CG.
+
+Device-side analog of the reference's Ceres configuration — SPARSE_SCHUR with
+the SCHUR_JACOBI preconditioner (wave_optimization/src/ceres/ba.cpp:49-52):
+
+- landmark (point) blocks are eliminated with batched 3x3 inverses;
+- the reduced camera system ``S dx_p = b̃`` is solved *matrix-free*: each CG
+  matvec is two segment-sum sweeps over the observation bank (gather by
+  landmark, gather by pose) — O(K) work, no 6Nx6N matrix formed;
+- the preconditioner is the block diagonal of S (SCHUR_JACOBI), computed in
+  O(K) from the self-terms only.
+
+All shapes are static; CG runs under ``lax.while_loop`` with a tolerance and
+iteration cap, so the whole solve jits and shards (the segment-sums become
+psum-able partial reductions when the observation bank is sharded across
+devices — see libwave_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SchurBlocks(NamedTuple):
+    """Normal-equation blocks for a BA-structured problem.
+
+    ``C/ci/cj`` hold pose-pose off-diagonal couplings from pose-graph factors
+    (odometry between-factors): H[ci, cj] += C, H[cj, ci] += C^T. They ride
+    along in the matrix-free Schur matvec; ``None``-like empty banks are
+    zero-length arrays.
+    """
+
+    Hpp: jnp.ndarray  # (N, 6, 6) pose diagonal blocks (damped)
+    Hll_inv: jnp.ndarray  # (M, 3, 3) inverted landmark blocks (damped)
+    W: jnp.ndarray  # (K, 6, 3) per-observation pose-landmark coupling
+    bp: jnp.ndarray  # (N, 6)
+    bl: jnp.ndarray  # (M, 3)
+    pose_idx: jnp.ndarray  # (K,)
+    lm_idx: jnp.ndarray  # (K,)
+    free_pose: jnp.ndarray  # (N,) 1.0 for free poses, 0.0 for gauge-fixed
+    C: jnp.ndarray  # (F, 6, 6) pose-pose cross blocks
+    ci: jnp.ndarray  # (F,)
+    cj: jnp.ndarray  # (F,)
+
+
+def build_normal_equations(
+    r, J_pose, J_lm, weights, pose_idx, lm_idx, num_poses, num_landmarks,
+    damping, free_pose,
+    extra_Hpp=None, extra_bp=None, couplings=None,
+) -> SchurBlocks:
+    """Assemble damped normal-equation blocks from a linearized observation
+    bank via segment-sums (the TPU analog of sparse assembly).
+
+    ``weights`` (K,) fold in both validity masks and robust-loss weights.
+    ``damping`` is the LM lambda; diagonals are damped multiplicatively
+    (Marquardt scaling) with an additive floor for rank safety.
+    """
+    w = weights[:, None, None]
+    JpT = jnp.swapaxes(J_pose, -1, -2)  # (K, 6, 2)
+    JlT = jnp.swapaxes(J_lm, -1, -2)  # (K, 3, 2)
+
+    Hpp_k = (JpT * w) @ J_pose  # (K, 6, 6)
+    Hll_k = (JlT * w) @ J_lm  # (K, 3, 3)
+    W = (JpT * w) @ J_lm  # (K, 6, 3)
+    bp_k = -jnp.einsum("kij,kj->ki", JpT * w, r)  # (K, 6)
+    bl_k = -jnp.einsum("kij,kj->ki", JlT * w, r)  # (K, 3)
+
+    Hpp = jax.ops.segment_sum(Hpp_k, pose_idx, num_segments=num_poses)
+    Hll = jax.ops.segment_sum(Hll_k, lm_idx, num_segments=num_landmarks)
+    bp = jax.ops.segment_sum(bp_k, pose_idx, num_segments=num_poses)
+    bl = jax.ops.segment_sum(bl_k, lm_idx, num_segments=num_landmarks)
+
+    # fold in pose-graph factor contributions (diagonal + rhs)
+    if extra_Hpp is not None:
+        Hpp = Hpp + extra_Hpp
+    if extra_bp is not None:
+        bp = bp + extra_bp
+
+    dtype = r.dtype
+
+    def damp(H, n):
+        # Marquardt scaling: diag *= (1 + lambda), plus additive floor.
+        eye = jnp.eye(n, dtype=dtype)
+        diag = jnp.diagonal(H, axis1=-2, axis2=-1)  # (B, n)
+        add = damping * diag + 1e-10
+        return H + eye * add[..., None, :]
+
+    Hpp = damp(Hpp, 6)
+    Hll = damp(Hll, 3)
+
+    Hll_inv = jnp.linalg.inv(Hll)
+    if couplings is None:
+        C = jnp.zeros((0, 6, 6), dtype=dtype)
+        ci = jnp.zeros((0,), dtype=jnp.int32)
+        cj = jnp.zeros((0,), dtype=jnp.int32)
+    else:
+        C, ci, cj = couplings
+    return SchurBlocks(
+        Hpp=Hpp, Hll_inv=Hll_inv, W=W, bp=bp, bl=bl,
+        pose_idx=pose_idx, lm_idx=lm_idx, free_pose=free_pose,
+        C=C, ci=ci, cj=cj,
+    )
+
+
+def _project(x, free_pose):
+    """Zero out gauge-fixed pose blocks (Ceres SetParameterBlockConstant,
+    ba_test.cpp:156-161)."""
+    return x * free_pose[:, None]
+
+
+def schur_matvec(blocks: SchurBlocks, x: jnp.ndarray) -> jnp.ndarray:
+    """S x = Hpp x - U Hll^-1 U^T x, matrix-free. x: (N, 6) -> (N, 6)."""
+    x = _project(x, blocks.free_pose)
+    # Hpp x
+    out = jnp.einsum("nij,nj->ni", blocks.Hpp, x)
+    # U^T x: per observation W_k^T x[pose_k], summed by landmark
+    xk = x[blocks.pose_idx]  # (K, 6)
+    utx_k = jnp.einsum("kij,ki->kj", blocks.W, xk)  # (K, 3)
+    utx = jax.ops.segment_sum(utx_k, blocks.lm_idx, num_segments=blocks.bl.shape[0])
+    y = jnp.einsum("mij,mj->mi", blocks.Hll_inv, utx)  # (M, 3)
+    # U y: per observation W_k y[lm_k], summed by pose
+    uy_k = jnp.einsum("kij,kj->ki", blocks.W, y[blocks.lm_idx])  # (K, 6)
+    uy = jax.ops.segment_sum(uy_k, blocks.pose_idx, num_segments=x.shape[0])
+    out = out - uy
+    # pose-pose couplings from pose-graph factors
+    if blocks.C.shape[0] > 0:
+        cx_j = jnp.einsum("fij,fj->fi", blocks.C, x[blocks.cj])  # (F, 6)
+        cx_i = jnp.einsum("fji,fj->fi", blocks.C, x[blocks.ci])  # C^T x_i
+        out = out + jax.ops.segment_sum(
+            cx_j, blocks.ci, num_segments=x.shape[0]
+        )
+        out = out + jax.ops.segment_sum(
+            cx_i, blocks.cj, num_segments=x.shape[0]
+        )
+    return _project(out, blocks.free_pose)
+
+
+def schur_rhs(blocks: SchurBlocks) -> jnp.ndarray:
+    """b̃ = bp - U Hll^-1 bl."""
+    y = jnp.einsum("mij,mj->mi", blocks.Hll_inv, blocks.bl)
+    uy_k = jnp.einsum("kij,kj->ki", blocks.W, y[blocks.lm_idx])
+    uy = jax.ops.segment_sum(uy_k, blocks.pose_idx, num_segments=blocks.bp.shape[0])
+    return _project(blocks.bp - uy, blocks.free_pose)
+
+
+def schur_jacobi_preconditioner(blocks: SchurBlocks) -> jnp.ndarray:
+    """Inverted block diagonal of S (the SCHUR_JACOBI preconditioner):
+    P_i = (Hpp_i - sum_k W_k Hll_inv[lm_k] W_k^T)^{-1}, self-terms only."""
+    Wk = blocks.W
+    self_k = Wk @ blocks.Hll_inv[blocks.lm_idx] @ jnp.swapaxes(Wk, -1, -2)
+    S_diag = blocks.Hpp - jax.ops.segment_sum(
+        self_k, blocks.pose_idx, num_segments=blocks.Hpp.shape[0]
+    )
+    # Gauge-fixed poses get identity so CG stays well-defined on their
+    # (projected-out) subspace.
+    eye = jnp.eye(6, dtype=S_diag.dtype)
+    free = blocks.free_pose[:, None, None]
+    S_diag = free * S_diag + (1.0 - free) * eye
+    # small diagonal lift for safety
+    S_diag = S_diag + 1e-10 * eye
+    return jnp.linalg.inv(S_diag)
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray
+    residual_norm: jnp.ndarray
+
+
+def pcg(blocks: SchurBlocks, b, max_iters: int = 100, tol: float = 1e-8) -> CGResult:
+    """Preconditioned conjugate gradients on the reduced camera system."""
+    P = schur_jacobi_preconditioner(blocks)
+
+    def apply_P(v):
+        return _project(
+            jnp.einsum("nij,nj->ni", P, _project(v, blocks.free_pose)),
+            blocks.free_pose,
+        )
+
+    b = _project(b, blocks.free_pose)
+    b_norm = jnp.sqrt(jnp.vdot(b, b))
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = apply_P(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+
+    def cond(state):
+        _, r, _, _, _, it = state
+        return (it < max_iters) & (jnp.sqrt(jnp.vdot(r, r)) > tol * (b_norm + 1e-30))
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        Sp = schur_matvec(blocks, p)
+        denom = jnp.vdot(p, Sp)
+        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        x = x + alpha * p
+        r = r - alpha * Sp
+        z = apply_P(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    x, r, _, _, _, it = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+    return CGResult(x=x, iterations=it, residual_norm=jnp.sqrt(jnp.vdot(r, r)))
+
+
+def back_substitute(blocks: SchurBlocks, dx_pose: jnp.ndarray) -> jnp.ndarray:
+    """dx_lm = Hll^-1 (bl - U^T dx_pose)."""
+    xk = _project(dx_pose, blocks.free_pose)[blocks.pose_idx]
+    utx_k = jnp.einsum("kij,ki->kj", blocks.W, xk)
+    utx = jax.ops.segment_sum(utx_k, blocks.lm_idx, num_segments=blocks.bl.shape[0])
+    return jnp.einsum("mij,mj->mi", blocks.Hll_inv, blocks.bl - utx)

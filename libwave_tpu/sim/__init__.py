@@ -1,0 +1,9 @@
+"""Synthetic dataset generation (parity: wave_vision's VoDataset tooling)."""
+
+from libwave_tpu.sim.vo_dataset import (  # noqa: F401
+    VoDataset,
+    VoSimParams,
+    generate_vo_dataset,
+    load_vo_dataset,
+    save_vo_dataset,
+)
