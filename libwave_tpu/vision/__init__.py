@@ -11,3 +11,30 @@ from libwave_tpu.vision.camera import (  # noqa: F401
     pinhole_project,
     pinhole_project_frames,
 )
+from libwave_tpu.vision.detector import (  # noqa: F401
+    FASTParams,
+    ORBDetectorParams,
+    detect_fast,
+    detect_orb,
+    fast_score,
+    harris_score,
+)
+from libwave_tpu.vision.descriptor import (  # noqa: F401
+    BRISKParams,
+    ORBDescriptorParams,
+    brisk_describe,
+    orb_describe,
+)
+from libwave_tpu.vision.matcher import (  # noqa: F401
+    MatcherParams,
+    find_fundamental_ransac,
+    hamming_distance_matrix,
+    match_descriptors,
+)
+from libwave_tpu.vision.tracker import (  # noqa: F401
+    TrackerParams,
+    TrackerState,
+    add_image_features,
+    offline_tracker,
+    tracker_init,
+)
