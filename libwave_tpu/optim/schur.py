@@ -24,6 +24,48 @@ import jax
 import jax.numpy as jnp
 
 
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / determinant).
+
+    Much cheaper than LU on TPU for the (M, 3, 3) landmark blocks — pure
+    VPU elementwise math, no pivoting, trivially fusible.
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], axis=-1),
+            jnp.stack([A21, A22, A23], axis=-1),
+            jnp.stack([A31, A32, A33], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def cho_inverse(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched SPD inverse via Cholesky triangular solves (for the (N, 6, 6)
+    preconditioner blocks — avoids general LU pivoting)."""
+    L = jnp.linalg.cholesky(A)
+    eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+    Linv = jax.lax.linalg.triangular_solve(
+        L, eye, left_side=True, lower=True
+    )
+    return jnp.swapaxes(Linv, -1, -2) @ Linv
+
+
 class SchurBlocks(NamedTuple):
     """Normal-equation blocks for a BA-structured problem.
 
@@ -91,7 +133,7 @@ def build_normal_equations(
     Hpp = damp(Hpp, 6)
     Hll = damp(Hll, 3)
 
-    Hll_inv = jnp.linalg.inv(Hll)
+    Hll_inv = inv3x3(Hll)
     if couplings is None:
         C = jnp.zeros((0, 6, 6), dtype=dtype)
         ci = jnp.zeros((0,), dtype=jnp.int32)
@@ -161,7 +203,7 @@ def schur_jacobi_preconditioner(blocks: SchurBlocks) -> jnp.ndarray:
     S_diag = free * S_diag + (1.0 - free) * eye
     # small diagonal lift for safety
     S_diag = S_diag + 1e-10 * eye
-    return jnp.linalg.inv(S_diag)
+    return cho_inverse(S_diag)
 
 
 class CGResult(NamedTuple):

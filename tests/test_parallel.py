@@ -67,7 +67,7 @@ class TestDistributedBA:
         sp, ss = shard_ba_problem(problem, init, mesh)
         dist_state, dist_cost = distributed_lm_step(sp, ss, cfg)
 
-        np.testing.assert_allclose(float(dist_cost), float(local_cost), rtol=1e-9)
+        np.testing.assert_allclose(float(dist_cost), float(local_cost), rtol=1e-7)
         M = gt.lm.shape[0]
         np.testing.assert_allclose(
             np.asarray(dist_state.lm)[:M], np.asarray(local_state.lm), atol=1e-8
