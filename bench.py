@@ -82,37 +82,34 @@ def make_problem(num_poses=200, num_landmarks=10_000, obs_per_pose=300, seed=0):
     return problem, state
 
 
-def bench_backend(problem, state, iters=10, warmup=2):
+def bench_backend(problem, state, iters=10, repeats=3):
+    """Time full LM iterations. The whole iteration loop runs as ONE jitted
+    lax.scan (solve_ba) so device dispatch overhead is excluded — this is the
+    production calling convention."""
     import jax
-    import jax.numpy as jnp
 
-    from libwave_tpu.optim import BAConfig
-    from libwave_tpu.optim.ba import _lm_iteration, ba_cost
+    from libwave_tpu.optim import BAConfig, solve_ba
 
-    cfg = BAConfig(cg_max_iters=20, cg_tol=1e-5)
+    cfg = BAConfig(
+        max_iterations=iters,
+        cg_max_iters=20,
+        cg_tol=1e-5,
+        # benchmark all iterations: disable the convergence freeze
+        relative_decrease_tol=0.0,
+        absolute_decrease_tol=0.0,
+    )
+    solve = jax.jit(lambda pr, st: solve_ba(pr, st, cfg))
 
-    @jax.jit
-    def step(state, lam):
-        cost = ba_cost(problem, state)
-        carry = (state, lam, cost, jnp.asarray(False))
-        (new_state, new_lam, new_cost, _), _ = _lm_iteration(
-            problem, cfg, carry, None
-        )
-        return new_state, new_lam, new_cost
+    out, info = solve(problem, state)  # compile + warm
+    jax.block_until_ready(out)
 
-    lam = jnp.asarray(1e-4, dtype=jnp.float32)
-    s = state
-    for _ in range(warmup):
-        s, lam, cost = step(s, lam)
-    jax.block_until_ready(s)
-
-    t0 = time.perf_counter()
-    s, lam = state, jnp.asarray(1e-4, dtype=jnp.float32)
-    for _ in range(iters):
-        s, lam, cost = step(s, lam)
-    jax.block_until_ready(s)
-    dt = time.perf_counter() - t0
-    return iters / dt, float(cost)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out, info = solve(problem, state)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return iters / best, float(info["final_cost"])
 
 
 def main():
@@ -129,7 +126,7 @@ def main():
         cpu_problem = jax.device_put(problem, cpu[0])
         cpu_state = jax.device_put(state, cpu[0])
         with jax.default_device(cpu[0]):
-            cpu_rate, _ = bench_backend(cpu_problem, cpu_state, iters=4)
+            cpu_rate, _ = bench_backend(cpu_problem, cpu_state, repeats=2)
     except Exception:
         pass
 

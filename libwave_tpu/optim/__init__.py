@@ -26,3 +26,30 @@ from libwave_tpu.optim.reprojection import (  # noqa: F401
     reprojection_residual,
     linearize_reprojection,
 )
+from libwave_tpu.optim.states import (  # noqa: F401
+    PoseVelAccBiasState,
+    PoseVelBiasState,
+    PoseVelState,
+)
+from libwave_tpu.optim.factors import (  # noqa: F401
+    bias_prior_residual,
+    decaying_bias_residual,
+    gps_residual,
+    hand_eye_residual,
+    motion_residual,
+    pose_prior_residual,
+    solve_trajectory_gn,
+    twist_prior_residual,
+)
+from libwave_tpu.optim.imu import (  # noqa: F401
+    PreintegratedImu,
+    imu_residual,
+    imu_sqrt_info,
+    preintegrate_imu,
+    simulate_imu,
+)
+from libwave_tpu.optim.pose_graph import (  # noqa: F401
+    BetweenBank,
+    PriorBank,
+    between_from_trajectory,
+)

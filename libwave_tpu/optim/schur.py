@@ -213,7 +213,15 @@ class CGResult(NamedTuple):
 
 
 def pcg(blocks: SchurBlocks, b, max_iters: int = 100, tol: float = 1e-8) -> CGResult:
-    """Preconditioned conjugate gradients on the reduced camera system."""
+    """Preconditioned conjugate gradients on the reduced camera system.
+
+    Runs exactly ``max_iters`` iterations under ``lax.scan`` with
+    convergence *masking* (updates freeze once the residual is below tol)
+    instead of a data-dependent ``while_loop`` — static control flow is the
+    TPU rule (SURVEY.md §7): a while predicate would force a device->host
+    sync every iteration, which through a remote runtime costs more than the
+    iteration itself.
+    """
     P = schur_jacobi_preconditioner(blocks)
 
     def apply_P(v):
@@ -229,25 +237,32 @@ def pcg(blocks: SchurBlocks, b, max_iters: int = 100, tol: float = 1e-8) -> CGRe
     z0 = apply_P(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
+    thresh = tol * (b_norm + 1e-30)
 
-    def cond(state):
-        _, r, _, _, _, it = state
-        return (it < max_iters) & (jnp.sqrt(jnp.vdot(r, r)) > tol * (b_norm + 1e-30))
-
-    def body(state):
-        x, r, z, p, rz, it = state
+    def body(state, _):
+        x, r, z, p, rz, it, done = state
         Sp = schur_matvec(blocks, p)
         denom = jnp.vdot(p, Sp)
         alpha = rz / jnp.where(denom == 0, 1.0, denom)
-        x = x + alpha * p
-        r = r - alpha * Sp
-        z = apply_P(r)
-        rz_new = jnp.vdot(r, z)
+        x_new = x + alpha * p
+        r_new = r - alpha * Sp
+        z_new = apply_P(r_new)
+        rz_new = jnp.vdot(r_new, z_new)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-        p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1)
+        p_new = z_new + beta * p
 
-    x, r, _, _, _, it = jax.lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+        keep = ~done
+        x = jnp.where(keep, x_new, x)
+        r = jnp.where(keep, r_new, r)
+        z = jnp.where(keep, z_new, z)
+        p = jnp.where(keep, p_new, p)
+        rz = jnp.where(keep, rz_new, rz)
+        it = it + keep.astype(jnp.int32)
+        done = done | (jnp.sqrt(jnp.vdot(r, r)) <= thresh)
+        return (x, r, z, p, rz, it, done), None
+
+    init = (x0, r0, z0, p0, rz0, jnp.asarray(0), b_norm <= thresh)
+    (x, r, _, _, _, it, _), _ = jax.lax.scan(body, init, None, length=max_iters)
     return CGResult(x=x, iterations=it, residual_norm=jnp.sqrt(jnp.vdot(r, r)))
 
 
