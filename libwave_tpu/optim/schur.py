@@ -10,10 +10,11 @@ the SCHUR_JACOBI preconditioner (wave_optimization/src/ceres/ba.cpp:49-52):
 - the preconditioner is the block diagonal of S (SCHUR_JACOBI), computed in
   O(K) from the self-terms only.
 
-All shapes are static; CG runs under ``lax.while_loop`` with a tolerance and
-iteration cap, so the whole solve jits and shards (the segment-sums become
-psum-able partial reductions when the observation bank is sharded across
-devices — see libwave_tpu.parallel).
+All shapes are static; CG runs a fixed iteration count under ``lax.scan``
+with convergence masking, so the whole solve jits and shards (the
+segment-sums become psum-able partial reductions when the observation bank
+is sharded across devices — see libwave_tpu.parallel). Pose blocks are
+D-dimensional (6 for pure BA, 15 for VIO's pose+vel+bias states).
 """
 
 from __future__ import annotations
@@ -130,12 +131,13 @@ def build_normal_equations(
         add = damping * diag + 1e-10
         return H + eye * add[..., None, :]
 
-    Hpp = damp(Hpp, 6)
+    Hpp = damp(Hpp, Hpp.shape[-1])
     Hll = damp(Hll, 3)
 
+    D = Hpp.shape[-1]
     Hll_inv = inv3x3(Hll)
     if couplings is None:
-        C = jnp.zeros((0, 6, 6), dtype=dtype)
+        C = jnp.zeros((0, D, D), dtype=dtype)
         ci = jnp.zeros((0,), dtype=jnp.int32)
         cj = jnp.zeros((0,), dtype=jnp.int32)
     else:
@@ -148,9 +150,13 @@ def build_normal_equations(
 
 
 def _project(x, free_pose):
-    """Zero out gauge-fixed pose blocks (Ceres SetParameterBlockConstant,
-    ba_test.cpp:156-161)."""
-    return x * free_pose[:, None]
+    """Zero out gauge-fixed coordinates (Ceres SetParameterBlockConstant,
+    ba_test.cpp:156-161). ``free_pose`` is (N,) to fix whole blocks, or
+    (N, D) to fix individual tangent columns (e.g. freeze only the pose part
+    of a combined VIO state, leaving velocity/bias free)."""
+    if free_pose.ndim == 1:
+        return x * free_pose[:, None]
+    return x * free_pose
 
 
 def schur_matvec(blocks: SchurBlocks, x: jnp.ndarray) -> jnp.ndarray:
@@ -196,11 +202,17 @@ def schur_jacobi_preconditioner(blocks: SchurBlocks) -> jnp.ndarray:
     S_diag = blocks.Hpp - jax.ops.segment_sum(
         self_k, blocks.pose_idx, num_segments=blocks.Hpp.shape[0]
     )
-    # Gauge-fixed poses get identity so CG stays well-defined on their
-    # (projected-out) subspace.
-    eye = jnp.eye(6, dtype=S_diag.dtype)
-    free = blocks.free_pose[:, None, None]
-    S_diag = free * S_diag + (1.0 - free) * eye
+    # Gauge-fixed coordinates get identity rows/cols so CG stays
+    # well-defined on their (projected-out) subspace.
+    eye = jnp.eye(S_diag.shape[-1], dtype=S_diag.dtype)
+    if blocks.free_pose.ndim == 1:
+        m = jnp.broadcast_to(
+            blocks.free_pose[:, None], S_diag.shape[:2]
+        )
+    else:
+        m = blocks.free_pose
+    S_diag = m[:, :, None] * S_diag * m[:, None, :]
+    S_diag = S_diag + eye * (1.0 - m)[..., None, :] * eye
     # small diagonal lift for safety
     S_diag = S_diag + 1e-10 * eye
     return cho_inverse(S_diag)

@@ -1,0 +1,430 @@
+"""Visual-inertial odometry: full factor graph with Schur elimination.
+
+The flagship end-to-end estimator (BASELINE.md config 4: "full VIO factor
+graph — reprojection + IMU preintegration, sliding window"). The reference
+assembles the equivalent graph in GTSAM (projection factors + combined-IMU
+factors over PoseVel/Bias states, preint_imu_factor.hpp:20); here the whole
+graph solves on device:
+
+- keyframe states are 15-dim blocks [pose(6), vel(3), bg(3), ba(3)]
+  (linear velocity only — the angular rate is not observable from this
+  factor set and the reference's combined-IMU states likewise only use
+  linear velocity in the IMU residual);
+- reprojection factors eliminate landmarks via the Schur machinery
+  (3x3 block inverses + matrix-free PCG), exactly as pure BA;
+- IMU preintegration factors and bias random-walk factors enter as
+  pose-pose couplings in the reduced camera system;
+- the LM loop is one lax.scan; everything jits and shards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from libwave_tpu.geometry import se3, so3
+from libwave_tpu.geometry.se3 import SE3
+from libwave_tpu.optim import schur
+from libwave_tpu.optim.imu import PreintegratedImu, imu_residual, imu_sqrt_info
+from libwave_tpu.optim.reprojection import (
+    linearize_reprojection,
+    reprojection_residual,
+)
+
+D = 15  # keyframe tangent dim: [pose(6), vel(3), bg(3), ba(3)]
+
+
+class VIOState(NamedTuple):
+    """Keyframe states (N keyframes, BODY frame) + landmarks."""
+
+    q: jnp.ndarray  # (N, 4) body-to-world orientation
+    p: jnp.ndarray  # (N, 3)
+    v: jnp.ndarray  # (N, 3) world-frame linear velocity
+    bg: jnp.ndarray  # (N, 3) gyro bias
+    ba: jnp.ndarray  # (N, 3) accel bias
+    lm: jnp.ndarray  # (M, 3)
+
+    def retract(self, dx: jnp.ndarray, dlm: jnp.ndarray, free) -> "VIOState":
+        """Product-manifold retraction [omega, dp_world, dv, dbg, dba] —
+        consistent with the reprojection Jacobians (same convention as the
+        BA solver)."""
+        dx = dx * (free[:, None] if free.ndim == 1 else free)
+        return VIOState(
+            q=so3.quat_boxplus(self.q, dx[:, 0:3]),
+            p=self.p + dx[:, 3:6],
+            v=self.v + dx[:, 6:9],
+            bg=self.bg + dx[:, 9:12],
+            ba=self.ba + dx[:, 12:15],
+            lm=self.lm + dlm,
+        )
+
+
+class VIOProblem(NamedTuple):
+    K: jnp.ndarray  # (3, 3) intrinsics
+    # reprojection bank
+    pose_idx: jnp.ndarray  # (K_,)
+    lm_idx: jnp.ndarray  # (K_,)
+    uv: jnp.ndarray  # (K_, 2)
+    obs_weight: jnp.ndarray  # (K_,)
+    # IMU bank: one preintegrated window per consecutive keyframe pair,
+    # stacked (pytree of arrays with leading axis F)
+    pim: PreintegratedImu  # leading dim F on every field
+    imu_i: jnp.ndarray  # (F,)
+    imu_j: jnp.ndarray  # (F,)
+    imu_sqrt_info: jnp.ndarray  # (F, 9, 9)
+    # bias random walk sqrt-information (per-step, 6-dim [bg, ba])
+    bias_walk_sqrt_info: jnp.ndarray  # (6,)
+    free_pose: jnp.ndarray  # (N,)
+    q_BC: jnp.ndarray = None  # (4,) camera-from-body extrinsic rotation
+    # zero-mean bias prior per keyframe (weak, regularizes the weakly
+    # observable bias directions — standard VIO practice)
+    bias_prior_sqrt_info: jnp.ndarray = None  # (6,) or None
+    pixel_sigma: float = 1.0
+    gravity: tuple = (0.0, 0.0, -9.81)
+
+
+@dataclasses.dataclass(frozen=True)
+class VIOConfig:
+    max_iterations: int = 15
+    cg_max_iters: int = 60
+    cg_tol: float = 1e-6
+    init_lambda: float = 1e-4
+    lambda_up: float = 4.0
+    lambda_down: float = 0.5
+
+
+def _imu_linearize(problem: VIOProblem, state: VIOState):
+    """Residuals + Jacobians of all IMU factors wrt the 15-dim blocks.
+
+    Returns (r (F, 9), Ji (F, 9, 15), Jj (F, 9, 15)) — whitened.
+    """
+    g = jnp.asarray(problem.gravity, state.p.dtype)
+
+    def one(pim, i, j, S):
+        qi, pi, vi = state.q[i], state.p[i], state.v[i]
+        qj, pj, vj = state.q[j], state.p[j], state.v[j]
+        bgi, bai = state.bg[i], state.ba[i]
+
+        def res(xi_i, xi_j):
+            # product retraction, matching VIOState.retract
+            r = imu_residual(
+                pim,
+                so3.quat_boxplus(qi, xi_i[0:3]), pi + xi_i[3:6],
+                vi + xi_i[6:9],
+                so3.quat_boxplus(qj, xi_j[0:3]), pj + xi_j[3:6],
+                vj + xi_j[6:9],
+                bgi + xi_i[9:12], bai + xi_i[12:15],
+                gravity=g,
+            )
+            return S @ r
+
+        z = jnp.zeros(D, state.p.dtype)
+        r = res(z, z)
+        Ji = jax.jacfwd(res, argnums=0)(z, z)
+        Jj = jax.jacfwd(res, argnums=1)(z, z)
+        return r, Ji, Jj
+
+    return jax.vmap(one)(problem.pim, problem.imu_i, problem.imu_j,
+                         problem.imu_sqrt_info)
+
+
+def _bias_walk_linearize(problem: VIOProblem, state: VIOState):
+    """Bias random-walk between consecutive keyframes: r = [bg_j - bg_i,
+    ba_j - ba_i] * sqrt_info. Closed-form Jacobians (constant)."""
+    i, j = problem.imu_i, problem.imu_j
+    si = problem.bias_walk_sqrt_info
+    r = jnp.concatenate(
+        [state.bg[j] - state.bg[i], state.ba[j] - state.ba[i]], axis=-1
+    ) * si
+    F = i.shape[0]
+    dtype = state.p.dtype
+    Ji = jnp.zeros((F, 6, D), dtype)
+    Ji = Ji.at[:, 0:3, 9:12].set(-si[0:3, None] * jnp.eye(3, dtype=dtype))
+    Ji = Ji.at[:, 3:6, 12:15].set(-si[3:6, None] * jnp.eye(3, dtype=dtype))
+    Jj = -Ji
+    return r, Ji, Jj
+
+
+def _camera_quats(problem, q_body):
+    if problem.q_BC is None:
+        return q_body
+    return so3.quat_multiply(q_body, problem.q_BC)
+
+
+def vio_cost(problem: VIOProblem, state: VIOState) -> jnp.ndarray:
+    r, valid = reprojection_residual(
+        problem.K,
+        _camera_quats(problem, state.q[problem.pose_idx]),
+        state.p[problem.pose_idx],
+        state.lm[problem.lm_idx],
+        problem.uv,
+    )
+    w = problem.obs_weight * valid.astype(r.dtype) / problem.pixel_sigma**2
+    c = 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
+    r_imu, _, _ = _imu_linearize(problem, state)
+    c = c + 0.5 * jnp.sum(r_imu * r_imu)
+    r_bw, _, _ = _bias_walk_linearize(problem, state)
+    c = c + 0.5 * jnp.sum(r_bw * r_bw)
+    if problem.bias_prior_sqrt_info is not None:
+        si = problem.bias_prior_sqrt_info
+        rp = jnp.concatenate([state.bg, state.ba], axis=-1) * si
+        c = c + 0.5 * jnp.sum(rp * rp)
+    return c
+
+
+def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _):
+    state, lam, cost = carry
+    N = problem.free_pose.shape[0]
+    M = state.lm.shape[0]
+    dtype = state.p.dtype
+
+    # reprojection bank -> (K, 2, 15) with zeros on vel/bias columns.
+    # States are BODY poses; the camera orientation is q_body * q_BC with
+    # zero lever arm (the reference camera sits at the body origin,
+    # VoDataset.cpp:237-246). A right perturbation phi on the body maps to
+    # R_BC^T phi on the camera, so J_omega_body = J_omega_cam @ R_BC^T.
+    r, J6, J_lm, valid = linearize_reprojection(
+        problem.K,
+        _camera_quats(problem, state.q[problem.pose_idx]),
+        state.p[problem.pose_idx],
+        state.lm[problem.lm_idx],
+        problem.uv,
+    )
+    if problem.q_BC is not None:
+        R_BC_T = so3.quat_to_rot(so3.quat_inverse(problem.q_BC))
+        J6 = J6.at[:, :, 0:3].set(J6[:, :, 0:3] @ R_BC_T)
+    Kn = r.shape[0]
+    J_pose = jnp.zeros((Kn, 2, D), dtype).at[:, :, 0:6].set(J6)
+    w = problem.obs_weight * valid.astype(dtype) / problem.pixel_sigma**2
+
+    # IMU + bias-walk factors -> diagonal contributions + couplings
+    r_imu, Ji, Jj = _imu_linearize(problem, state)
+    r_bw, Bi, Bj = _bias_walk_linearize(problem, state)
+    bi, bj = problem.imu_i, problem.imu_j
+
+    JiT, JjT = jnp.swapaxes(Ji, -1, -2), jnp.swapaxes(Jj, -1, -2)
+    BiT, BjT = jnp.swapaxes(Bi, -1, -2), jnp.swapaxes(Bj, -1, -2)
+    extra_Hpp = (
+        jax.ops.segment_sum(JiT @ Ji + BiT @ Bi, bi, num_segments=N)
+        + jax.ops.segment_sum(JjT @ Jj + BjT @ Bj, bj, num_segments=N)
+    )
+    extra_bp = jax.ops.segment_sum(
+        -jnp.einsum("fij,fj->fi", JiT, r_imu)
+        - jnp.einsum("fij,fj->fi", BiT, r_bw),
+        bi, num_segments=N,
+    ) + jax.ops.segment_sum(
+        -jnp.einsum("fij,fj->fi", JjT, r_imu)
+        - jnp.einsum("fij,fj->fi", BjT, r_bw),
+        bj, num_segments=N,
+    )
+    couplings = (JiT @ Jj + BiT @ Bj, bi, bj)
+
+    if problem.bias_prior_sqrt_info is not None:
+        si = problem.bias_prior_sqrt_info
+        si2 = si * si
+        diag = jnp.zeros((D,), dtype).at[9:15].set(si2)
+        extra_Hpp = extra_Hpp + jnp.eye(D, dtype=dtype) * diag[None, None, :]
+        rp = jnp.concatenate([state.bg, state.ba], axis=-1)  # (N, 6)
+        extra_bp = extra_bp - jnp.concatenate(
+            [jnp.zeros((N, 9), dtype), rp * si2], axis=-1
+        )
+
+    blocks = schur.build_normal_equations(
+        r, J_pose, J_lm, w, problem.pose_idx, problem.lm_idx,
+        N, M, lam, problem.free_pose,
+        extra_Hpp=extra_Hpp, extra_bp=extra_bp, couplings=couplings,
+    )
+    rhs = schur.schur_rhs(blocks)
+    cg = schur.pcg(blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol)
+    dlm = schur.back_substitute(blocks, cg.x)
+
+    new_state = state.retract(cg.x, dlm, problem.free_pose)
+    new_cost = vio_cost(problem, new_state)
+    accept = new_cost < cost
+    state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new_state, state)
+    cost = jnp.where(accept, new_cost, cost)
+    lam = jnp.clip(
+        jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up),
+        1e-10, 1e8,
+    )
+    return (state, lam, cost), (cost, accept, cg.iterations)
+
+
+def solve_vio(problem: VIOProblem, state: VIOState, cfg: VIOConfig = VIOConfig()):
+    """Run the full VIO LM optimization (jit-able)."""
+    cost0 = vio_cost(problem, state)
+    carry = (state, jnp.asarray(cfg.init_lambda, state.p.dtype), cost0)
+    carry, (costs, accepts, cg_iters) = jax.lax.scan(
+        lambda c, x: _vio_iteration(problem, cfg, c, x),
+        carry, None, length=cfg.max_iterations,
+    )
+    state, lam, cost = carry
+    return state, {
+        "initial_cost": cost0,
+        "final_cost": cost,
+        "costs": costs,
+        "accepted": accepts,
+        "cg_iterations": cg_iters,
+    }
+
+
+def vio_dead_reckon(problem: VIOProblem, q0, p0, v0, lm_init) -> VIOState:
+    """Initialize keyframe states by propagating the preintegrated IMU
+    deltas from (q0, p0, v0) — the standard VIO initialization (a pose
+    guess inconsistent with the stiff IMU chain strands LM in a high-cost
+    valley; see tests). Landmarks come from the caller (triangulation or
+    map prior)."""
+    g = jnp.asarray(problem.gravity, p0.dtype)
+
+    def step(carry, pim):
+        q, p, v = carry
+        dt = pim.dt_total
+        R = so3.quat_to_rot(q)
+        p_next = p + v * dt + 0.5 * g * dt * dt + R @ pim.dp
+        v_next = v + g * dt + R @ pim.dv
+        q_next = so3.quat_multiply(q, pim.dq)
+        return (q_next, p_next, v_next), (q_next, p_next, v_next)
+
+    (_, _, _), (qs, ps, vs) = jax.lax.scan(step, (q0, p0, v0), problem.pim)
+    N = qs.shape[0] + 1
+    return VIOState(
+        q=jnp.concatenate([q0[None], qs]),
+        p=jnp.concatenate([p0[None], ps]),
+        v=jnp.concatenate([v0[None], vs]),
+        bg=jnp.zeros((N, 3), p0.dtype),
+        ba=jnp.zeros((N, 3), p0.dtype),
+        lm=lm_init,
+    )
+
+
+def solve_vio_staged(problem: VIOProblem, state: VIOState,
+                     cfg: VIOConfig = VIOConfig(),
+                     vision_stage_scale: float = 1e-3):
+    """Two-stage solve: optimize with down-weighted inertial factors first,
+    then the full graph. Useful when the initial guess badly violates the
+    IMU chain but the vision geometry is sound. Caution: with a very small
+    ``vision_stage_scale`` the first stage is near-monocular and its scale
+    gauge can drift — prefer plain :func:`solve_vio` whenever the
+    initialization is IMU-consistent (e.g. from :func:`vio_dead_reckon` or a
+    previous window's optimum)."""
+    soft = problem._replace(
+        imu_sqrt_info=problem.imu_sqrt_info * vision_stage_scale,
+        bias_walk_sqrt_info=problem.bias_walk_sqrt_info * vision_stage_scale,
+    )
+    state, _ = solve_vio(soft, state, cfg)
+    return solve_vio(problem, state, cfg)
+
+
+def vio_from_sim(dataset, imu_rate_mult: int = 10, pixel_noise: float = 1.0,
+                 imu_gyro_sigma: float = 1e-3, imu_accel_sigma: float = 1e-2,
+                 key=None, q_BC=None):
+    """Build a VIOProblem from a synthetic VoDataset plus simulated IMU.
+
+    The robot trajectory provides ground truth; IMU samples are generated at
+    ``imu_rate_mult`` x the dataset step rate between triggered keyframes and
+    preintegrated per keyframe interval. Returns (problem, gt_state).
+    """
+    import numpy as np
+
+    from libwave_tpu.benchmark import Trajectory, interpolate_at
+    from libwave_tpu.optim.imu import preintegrate_imu, simulate_imu
+    from libwave_tpu.sim.vo_dataset import q_BC as default_q_BC
+
+    dtype = dataset.robot_p_GB.dtype
+    trig = np.asarray(dataset.frame_has_obs)
+    frames = np.nonzero(trig)[0]
+    N = len(frames)
+    qbc = default_q_BC(dtype) if q_BC is None else q_BC
+
+    # keyframe body poses (camera = body ∘ q_BC, zero lever arm)
+    q_GB = dataset.robot_q_GB[frames]
+    p_GB = dataset.robot_p_GB[frames]
+    times = np.asarray(dataset.times)[frames]
+
+    # dense body trajectory for IMU simulation
+    dt_imu = float(dataset.times[1] - dataset.times[0]) / imu_rate_mult
+    fine_t = jnp.arange(float(times[0]), float(times[-1]) + 1e-9, dt_imu)
+    fine = interpolate_at(
+        Trajectory(dataset.times, SE3(q=dataset.robot_q_GB, t=dataset.robot_p_GB)),
+        fine_t,
+    )
+    v_fine = jnp.gradient(fine.t, dt_imu, axis=0)
+    if key is not None:
+        key, k_imu = jax.random.split(key)
+    else:
+        k_imu = None
+    gyro, accel = simulate_imu(
+        fine.q, fine.t, v_fine, dt_imu, key=k_imu,
+        gyro_sigma=imu_gyro_sigma, accel_sigma=imu_accel_sigma,
+    )
+
+    # preintegrate per keyframe interval (equal-length windows for stacking)
+    steps_per_kf = int(round((times[1] - times[0]) / dt_imu))
+    pims = []
+    z3 = jnp.zeros(3, dtype)
+    for i in range(N - 1):
+        s = int(round((times[i] - times[0]) / dt_imu))
+        pims.append(
+            preintegrate_imu(
+                jax.lax.dynamic_slice_in_dim(gyro, s, steps_per_kf),
+                jax.lax.dynamic_slice_in_dim(accel, s, steps_per_kf),
+                dt_imu, z3, z3,
+                gyro_noise_density=max(imu_gyro_sigma, 1e-5),
+                accel_noise_density=max(imu_accel_sigma, 1e-4),
+            )
+        )
+    pim_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *pims)
+    sqrt_infos = jnp.stack([imu_sqrt_info(p) for p in pims])
+
+    # reprojection bank
+    vis = np.asarray(dataset.visible)
+    pose_idx, lm_idx, uv = [], [], []
+    px = np.asarray(dataset.pixels)
+    for fi, f in enumerate(frames):
+        for j in np.nonzero(vis[f])[0]:
+            pose_idx.append(fi)
+            lm_idx.append(j)
+            uv.append(px[f, j])
+    pose_idx = jnp.asarray(np.asarray(pose_idx, np.int32))
+    lm_idx = jnp.asarray(np.asarray(lm_idx, np.int32))
+    uv = jnp.asarray(np.asarray(uv), dtype)
+    if key is not None and pixel_noise > 0:
+        uv = uv + pixel_noise * jax.random.normal(key, uv.shape, dtype)
+
+    # gauge: fix only the POSE of the first keyframe; its velocity and
+    # biases stay free (freezing them would force the whole chain to
+    # accommodate whatever the initial guess put there)
+    free = np.ones((N, D))
+    free[0, 0:6] = 0.0
+
+    # ground-truth velocities at keyframes
+    kf_idx = np.round((times - times[0]) / dt_imu).astype(int)
+    v_kf = v_fine[jnp.asarray(np.minimum(kf_idx, v_fine.shape[0] - 1))]
+
+    problem = VIOProblem(
+        K=jnp.asarray(dataset.camera_K, dtype),
+        pose_idx=pose_idx,
+        lm_idx=lm_idx,
+        uv=uv,
+        obs_weight=jnp.ones(uv.shape[0], dtype),
+        pim=pim_stack,
+        imu_i=jnp.arange(N - 1, dtype=jnp.int32),
+        imu_j=jnp.arange(1, N, dtype=jnp.int32),
+        imu_sqrt_info=sqrt_infos,
+        bias_walk_sqrt_info=jnp.full((6,), 1e3, dtype),
+        bias_prior_sqrt_info=jnp.concatenate(
+            [jnp.full((3,), 1e2, dtype), jnp.full((3,), 1e1, dtype)]
+        ),
+        free_pose=jnp.asarray(free, dtype),
+        q_BC=qbc,
+        pixel_sigma=max(pixel_noise, 0.5),
+    )
+    gt = VIOState(
+        q=q_GB, p=p_GB, v=v_kf,
+        bg=jnp.zeros((N, 3), dtype), ba=jnp.zeros((N, 3), dtype),
+        lm=dataset.landmarks,
+    )
+    return problem, gt
