@@ -64,8 +64,13 @@ def make_problem(num_poses=200, num_landmarks=10_000, obs_per_pose=300, seed=0):
     )
     weight = in_front.astype(jnp.float32)
 
+    from libwave_tpu.optim import schur as schur_mod
+
     free = np.ones(num_poses, dtype=np.float32)
     free[:2] = 0
+    obs_of_pose, obs_of_lm = schur_mod.ell_tables(
+        pose_idx, lm_idx, num_poses, num_landmarks
+    )
     problem = BAProblem(
         K=Kmat,
         pose_idx=jnp.asarray(pose_idx),
@@ -73,6 +78,8 @@ def make_problem(num_poses=200, num_landmarks=10_000, obs_per_pose=300, seed=0):
         uv=uv,
         weight=weight,
         free_pose=jnp.asarray(free),
+        obs_of_pose=obs_of_pose,
+        obs_of_lm=obs_of_lm,
     )
     state = BAState(
         q=q.astype(jnp.float32),
@@ -100,16 +107,23 @@ def bench_backend(problem, state, iters=10, repeats=3):
     )
     solve = jax.jit(lambda pr, st: solve_ba(pr, st, cfg))
 
-    out, info = solve(problem, state)  # compile + warm
-    jax.block_until_ready(out)
-
-    best = float("inf")
-    for _ in range(repeats):
+    def run_once():
         t0 = time.perf_counter()
         out, info = solve(problem, state)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return iters / best, float(info["final_cost"])
+        # fetch a scalar: block_until_ready alone does not reliably wait on
+        # remote runtimes — materializing a value forces the round trip
+        cost = float(info["final_cost"])
+        return time.perf_counter() - t0, cost
+
+    run_once()  # compile + warm
+    times = []
+    cost = 0.0
+    for _ in range(max(repeats, 3)):
+        dt, cost = run_once()
+        times.append(dt)
+    times.sort()
+    median = times[len(times) // 2]
+    return iters / median, cost
 
 
 def main():

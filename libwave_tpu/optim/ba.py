@@ -47,6 +47,8 @@ class BAProblem(NamedTuple):
     free_pose: jnp.ndarray  # (N,) 1.0 free / 0.0 gauge-fixed
     between: object = None  # BetweenBank | None
     priors: object = None  # PriorBank | None
+    obs_of_pose: object = None  # (N, Pmax) ELL table (schur.ell_tables)
+    obs_of_lm: object = None  # (M, Lmax) ELL table
 
     @property
     def num_poses(self) -> int:
@@ -83,9 +85,16 @@ class BAConfig:
             raise ValueError("max_iterations must be > 0")
 
 
+# Penalty charged per cheirality-violated observation: without it, a step
+# that pushes points behind the camera zeroes their (masked) residuals and
+# the LM acceptance test mistakes that for an improvement.
+_CHEIRALITY_PENALTY = 1e6
+
+
 def ba_cost(problem: BAProblem, state: BAState) -> jnp.ndarray:
-    """0.5 * weighted squared reprojection error + pose-graph factor cost."""
-    r, _ = reprojection_residual(
+    """0.5 * weighted squared reprojection error + pose-graph factor cost
+    + a fixed penalty per behind-camera observation."""
+    r, valid = reprojection_residual(
         problem.K,
         state.q[problem.pose_idx],
         state.p[problem.pose_idx],
@@ -93,6 +102,9 @@ def ba_cost(problem: BAProblem, state: BAState) -> jnp.ndarray:
         problem.uv,
     )
     c = 0.5 * jnp.sum(problem.weight * jnp.sum(r * r, axis=-1))
+    c = c + _CHEIRALITY_PENALTY * jnp.sum(
+        problem.weight * (~valid).astype(r.dtype)
+    )
     return c + pose_graph.pose_graph_cost(
         state.q, state.p, problem.between, problem.priors
     )
@@ -147,6 +159,7 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _):
         r, J_pose, J_lm, w, problem.pose_idx, problem.lm_idx,
         N, M, lam, problem.free_pose,
         extra_Hpp=extra_Hpp, extra_bp=extra_bp, couplings=couplings,
+        obs_of_pose=problem.obs_of_pose, obs_of_lm=problem.obs_of_lm,
     )
     rhs = schur.schur_rhs(blocks)
     cg = schur.pcg(blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol)
@@ -160,7 +173,8 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _):
         lm=state.lm + dx_lm,
     )
     new_cost = ba_cost(problem, new_state)
-    accept = (new_cost < cost) & ~converged
+    step_ok = jnp.isfinite(jnp.sum(dx_pose)) & jnp.isfinite(jnp.sum(dx_lm))
+    accept = (new_cost < cost) & ~converged & jnp.isfinite(new_cost) & step_ok
     decrease = cost - new_cost
     converged = converged | (
         accept
@@ -285,6 +299,7 @@ def ba_from_dataset(
             ),
         )
 
+    obs_of_pose, obs_of_lm = schur.ell_tables(pose_idx, lm_idx, N, M)
     problem = BAProblem(
         K=jnp.asarray(dataset.camera_K),
         pose_idx=jnp.asarray(pose_idx),
@@ -294,5 +309,7 @@ def ba_from_dataset(
         free_pose=jnp.asarray(free, dtype=uv.dtype),
         between=between,
         priors=priors,
+        obs_of_pose=obs_of_pose,
+        obs_of_lm=obs_of_lm,
     )
     return problem, gt

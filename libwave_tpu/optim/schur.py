@@ -23,6 +23,41 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as onp
+
+
+def ell_tables(pose_idx, lm_idx, num_poses: int, num_landmarks: int):
+    """Host-side construction of ELL (padded dense) index tables.
+
+    ``obs_of_pose[n, :]`` lists the observation rows of pose n (padded with
+    K, a dummy row index); similarly ``obs_of_lm``. Reductions over these
+    rectangular tables are dense gathers + sums — measured ~2x faster than
+    scatter-based segment sums on v5e for the BA matvec. Returns
+    (obs_of_pose (N, Pmax), obs_of_lm (M, Lmax)) as jnp arrays.
+    """
+    pose_idx = onp.asarray(pose_idx)
+    lm_idx = onp.asarray(lm_idx)
+    K = pose_idx.shape[0]
+
+    def table(idx, num_segments):
+        counts = onp.bincount(idx, minlength=num_segments)
+        Lmax = max(int(counts.max()), 1)
+        t = onp.full((num_segments, Lmax), K, dtype=onp.int32)
+        cur = onp.zeros(num_segments, dtype=onp.int64)
+        for k, seg in enumerate(idx):
+            t[seg, cur[seg]] = k
+            cur[seg] += 1
+        return jnp.asarray(t)
+
+    return table(pose_idx, num_poses), table(lm_idx, num_landmarks)
+
+
+def _ell_reduce(vals, table):
+    """Sum rows of ``vals`` (K, ...) grouped by an ELL table (S, Lmax) padded
+    with index K (a zero dummy row is appended)."""
+    pad = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
+    padded = jnp.concatenate([vals, pad], axis=0)
+    return jnp.sum(padded[table], axis=1)
 
 
 def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
@@ -81,9 +116,13 @@ class SchurBlocks(NamedTuple):
     W: jnp.ndarray  # (K, 6, 3) per-observation pose-landmark coupling
     bp: jnp.ndarray  # (N, 6)
     bl: jnp.ndarray  # (M, 3)
-    pose_idx: jnp.ndarray  # (K,)
+    pose_idx: jnp.ndarray  # (K,) — MUST be non-decreasing (obs sorted by pose)
     lm_idx: jnp.ndarray  # (K,)
+    lm_perm: jnp.ndarray  # (K,) permutation sorting obs by landmark
+    lm_sorted: jnp.ndarray  # (K,) lm_idx[lm_perm]
     free_pose: jnp.ndarray  # (N,) 1.0 for free poses, 0.0 for gauge-fixed
+    obs_of_pose: object  # (N, Pmax) ELL table or None (sharded path)
+    obs_of_lm: object  # (M, Lmax) ELL table or None
     C: jnp.ndarray  # (F, 6, 6) pose-pose cross blocks
     ci: jnp.ndarray  # (F,)
     cj: jnp.ndarray  # (F,)
@@ -93,6 +132,7 @@ def build_normal_equations(
     r, J_pose, J_lm, weights, pose_idx, lm_idx, num_poses, num_landmarks,
     damping, free_pose,
     extra_Hpp=None, extra_bp=None, couplings=None,
+    obs_of_pose=None, obs_of_lm=None,
 ) -> SchurBlocks:
     """Assemble damped normal-equation blocks from a linearized observation
     bank via segment-sums (the TPU analog of sparse assembly).
@@ -100,7 +140,29 @@ def build_normal_equations(
     ``weights`` (K,) fold in both validity masks and robust-loss weights.
     ``damping`` is the LM lambda; diagonals are damped multiplicatively
     (Marquardt scaling) with an additive floor for rank safety.
+
+    TPU note: ``pose_idx`` must be non-decreasing (observations emitted in
+    pose order — all problem builders do this); landmark-side reductions go
+    through a sort permutation computed here. Sorted segment-sums lower to
+    fast vectorized reductions instead of serialized scatter-adds (~6x
+    measured on v5e).
     """
+    lm_perm = jnp.argsort(lm_idx)
+    lm_sorted = lm_idx[lm_perm]
+
+    if obs_of_pose is not None:
+        seg_pose = lambda vals: _ell_reduce(vals, obs_of_pose)
+    else:
+        seg_pose = lambda vals: jax.ops.segment_sum(
+            vals, pose_idx, num_segments=num_poses, indices_are_sorted=True
+        )
+    if obs_of_lm is not None:
+        seg_lm = lambda vals: _ell_reduce(vals, obs_of_lm)
+    else:
+        seg_lm = lambda vals: jax.ops.segment_sum(
+            vals[lm_perm], lm_sorted, num_segments=num_landmarks,
+            indices_are_sorted=True,
+        )
     w = weights[:, None, None]
     JpT = jnp.swapaxes(J_pose, -1, -2)  # (K, 6, 2)
     JlT = jnp.swapaxes(J_lm, -1, -2)  # (K, 3, 2)
@@ -111,10 +173,10 @@ def build_normal_equations(
     bp_k = -jnp.einsum("kij,kj->ki", JpT * w, r)  # (K, 6)
     bl_k = -jnp.einsum("kij,kj->ki", JlT * w, r)  # (K, 3)
 
-    Hpp = jax.ops.segment_sum(Hpp_k, pose_idx, num_segments=num_poses)
-    Hll = jax.ops.segment_sum(Hll_k, lm_idx, num_segments=num_landmarks)
-    bp = jax.ops.segment_sum(bp_k, pose_idx, num_segments=num_poses)
-    bl = jax.ops.segment_sum(bl_k, lm_idx, num_segments=num_landmarks)
+    Hpp = seg_pose(Hpp_k)
+    Hll = seg_lm(Hll_k)
+    bp = seg_pose(bp_k)
+    bl = seg_lm(bl_k)
 
     # fold in pose-graph factor contributions (diagonal + rhs)
     if extra_Hpp is not None:
@@ -124,11 +186,16 @@ def build_normal_equations(
 
     dtype = r.dtype
 
+    # Additive damping floor: must sit well above the dtype's cancellation
+    # noise or degenerate blocks (unobserved landmarks) make the Schur
+    # complement numerically indefinite and Cholesky NaNs out.
+    floor = 1e-6 if dtype == jnp.float32 else 1e-10
+
     def damp(H, n):
         # Marquardt scaling: diag *= (1 + lambda), plus additive floor.
         eye = jnp.eye(n, dtype=dtype)
         diag = jnp.diagonal(H, axis1=-2, axis2=-1)  # (B, n)
-        add = damping * diag + 1e-10
+        add = damping * diag + floor
         return H + eye * add[..., None, :]
 
     Hpp = damp(Hpp, Hpp.shape[-1])
@@ -144,7 +211,9 @@ def build_normal_equations(
         C, ci, cj = couplings
     return SchurBlocks(
         Hpp=Hpp, Hll_inv=Hll_inv, W=W, bp=bp, bl=bl,
-        pose_idx=pose_idx, lm_idx=lm_idx, free_pose=free_pose,
+        pose_idx=pose_idx, lm_idx=lm_idx, lm_perm=lm_perm,
+        lm_sorted=lm_sorted, free_pose=free_pose,
+        obs_of_pose=obs_of_pose, obs_of_lm=obs_of_lm,
         C=C, ci=ci, cj=cj,
     )
 
@@ -164,14 +233,27 @@ def schur_matvec(blocks: SchurBlocks, x: jnp.ndarray) -> jnp.ndarray:
     x = _project(x, blocks.free_pose)
     # Hpp x
     out = jnp.einsum("nij,nj->ni", blocks.Hpp, x)
-    # U^T x: per observation W_k^T x[pose_k], summed by landmark
+    # U^T x: per observation W_k^T x[pose_k], summed by landmark (through
+    # the precomputed sort permutation -> fast sorted reduction)
     xk = x[blocks.pose_idx]  # (K, 6)
     utx_k = jnp.einsum("kij,ki->kj", blocks.W, xk)  # (K, 3)
-    utx = jax.ops.segment_sum(utx_k, blocks.lm_idx, num_segments=blocks.bl.shape[0])
+    if blocks.obs_of_lm is not None:
+        utx = _ell_reduce(utx_k, blocks.obs_of_lm)
+    else:
+        utx = jax.ops.segment_sum(
+            utx_k[blocks.lm_perm], blocks.lm_sorted,
+            num_segments=blocks.bl.shape[0], indices_are_sorted=True,
+        )
     y = jnp.einsum("mij,mj->mi", blocks.Hll_inv, utx)  # (M, 3)
     # U y: per observation W_k y[lm_k], summed by pose
     uy_k = jnp.einsum("kij,kj->ki", blocks.W, y[blocks.lm_idx])  # (K, 6)
-    uy = jax.ops.segment_sum(uy_k, blocks.pose_idx, num_segments=x.shape[0])
+    if blocks.obs_of_pose is not None:
+        uy = _ell_reduce(uy_k, blocks.obs_of_pose)
+    else:
+        uy = jax.ops.segment_sum(
+            uy_k, blocks.pose_idx, num_segments=x.shape[0],
+            indices_are_sorted=True,
+        )
     out = out - uy
     # pose-pose couplings from pose-graph factors
     if blocks.C.shape[0] > 0:
@@ -190,7 +272,13 @@ def schur_rhs(blocks: SchurBlocks) -> jnp.ndarray:
     """b̃ = bp - U Hll^-1 bl."""
     y = jnp.einsum("mij,mj->mi", blocks.Hll_inv, blocks.bl)
     uy_k = jnp.einsum("kij,kj->ki", blocks.W, y[blocks.lm_idx])
-    uy = jax.ops.segment_sum(uy_k, blocks.pose_idx, num_segments=blocks.bp.shape[0])
+    if blocks.obs_of_pose is not None:
+        uy = _ell_reduce(uy_k, blocks.obs_of_pose)
+    else:
+        uy = jax.ops.segment_sum(
+            uy_k, blocks.pose_idx, num_segments=blocks.bp.shape[0],
+            indices_are_sorted=True,
+        )
     return _project(blocks.bp - uy, blocks.free_pose)
 
 
@@ -199,9 +287,14 @@ def schur_jacobi_preconditioner(blocks: SchurBlocks) -> jnp.ndarray:
     P_i = (Hpp_i - sum_k W_k Hll_inv[lm_k] W_k^T)^{-1}, self-terms only."""
     Wk = blocks.W
     self_k = Wk @ blocks.Hll_inv[blocks.lm_idx] @ jnp.swapaxes(Wk, -1, -2)
-    S_diag = blocks.Hpp - jax.ops.segment_sum(
-        self_k, blocks.pose_idx, num_segments=blocks.Hpp.shape[0]
-    )
+    if blocks.obs_of_pose is not None:
+        sub = _ell_reduce(self_k, blocks.obs_of_pose)
+    else:
+        sub = jax.ops.segment_sum(
+            self_k, blocks.pose_idx, num_segments=blocks.Hpp.shape[0],
+            indices_are_sorted=True,
+        )
+    S_diag = blocks.Hpp - sub
     # Gauge-fixed coordinates get identity rows/cols so CG stays
     # well-defined on their (projected-out) subspace.
     eye = jnp.eye(S_diag.shape[-1], dtype=S_diag.dtype)
@@ -282,5 +375,11 @@ def back_substitute(blocks: SchurBlocks, dx_pose: jnp.ndarray) -> jnp.ndarray:
     """dx_lm = Hll^-1 (bl - U^T dx_pose)."""
     xk = _project(dx_pose, blocks.free_pose)[blocks.pose_idx]
     utx_k = jnp.einsum("kij,ki->kj", blocks.W, xk)
-    utx = jax.ops.segment_sum(utx_k, blocks.lm_idx, num_segments=blocks.bl.shape[0])
+    if blocks.obs_of_lm is not None:
+        utx = _ell_reduce(utx_k, blocks.obs_of_lm)
+    else:
+        utx = jax.ops.segment_sum(
+            utx_k[blocks.lm_perm], blocks.lm_sorted,
+            num_segments=blocks.bl.shape[0], indices_are_sorted=True,
+        )
     return jnp.einsum("mij,mj->mi", blocks.Hll_inv, blocks.bl - utx)

@@ -45,8 +45,15 @@ def shard_ba_problem(problem: BAProblem, state: BAState, mesh: Mesh):
     dp = mesh.shape["dp"]
     tp = mesh.shape["tp"]
 
+    # Padding note: pose_idx must stay non-decreasing (the Schur machinery
+    # uses sorted segment-sums), so pad with the LAST pose index; the
+    # padded rows are fully masked by their zero weight either way.
+    last_pose = problem.free_pose.shape[0] - 1
+    # the ELL fast path indexes the global observation bank; the sharded
+    # path uses sharded segment-sums instead
+    problem = problem._replace(obs_of_pose=None, obs_of_lm=None)
     problem = problem._replace(
-        pose_idx=_pad_axis(problem.pose_idx, dp),
+        pose_idx=_pad_axis(problem.pose_idx, dp, fill=last_pose),
         lm_idx=_pad_axis(problem.lm_idx, dp),
         uv=_pad_axis(problem.uv, dp),
         weight=_pad_axis(problem.weight, dp),

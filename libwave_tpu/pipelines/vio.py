@@ -82,6 +82,8 @@ class VIOProblem(NamedTuple):
     # zero-mean bias prior per keyframe (weak, regularizes the weakly
     # observable bias directions — standard VIO practice)
     bias_prior_sqrt_info: jnp.ndarray = None  # (6,) or None
+    obs_of_pose: object = None  # ELL table (schur.ell_tables)
+    obs_of_lm: object = None
     pixel_sigma: float = 1.0
     gravity: tuple = (0.0, 0.0, -9.81)
 
@@ -164,6 +166,8 @@ def vio_cost(problem: VIOProblem, state: VIOState) -> jnp.ndarray:
     )
     w = problem.obs_weight * valid.astype(r.dtype) / problem.pixel_sigma**2
     c = 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
+    # behind-camera observations carry a fixed penalty (see ba_cost)
+    c = c + 1e6 * jnp.sum(problem.obs_weight * (~valid).astype(r.dtype))
     r_imu, _, _ = _imu_linearize(problem, state)
     c = c + 0.5 * jnp.sum(r_imu * r_imu)
     r_bw, _, _ = _bias_walk_linearize(problem, state)
@@ -236,6 +240,7 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _):
         r, J_pose, J_lm, w, problem.pose_idx, problem.lm_idx,
         N, M, lam, problem.free_pose,
         extra_Hpp=extra_Hpp, extra_bp=extra_bp, couplings=couplings,
+        obs_of_pose=problem.obs_of_pose, obs_of_lm=problem.obs_of_lm,
     )
     rhs = schur.schur_rhs(blocks)
     cg = schur.pcg(blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol)
@@ -243,7 +248,8 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _):
 
     new_state = state.retract(cg.x, dlm, problem.free_pose)
     new_cost = vio_cost(problem, new_state)
-    accept = new_cost < cost
+    step_ok = jnp.isfinite(jnp.sum(cg.x)) & jnp.isfinite(jnp.sum(dlm))
+    accept = (new_cost < cost) & jnp.isfinite(new_cost) & step_ok
     state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new_state, state)
     cost = jnp.where(accept, new_cost, cost)
     lam = jnp.clip(
@@ -404,6 +410,11 @@ def vio_from_sim(dataset, imu_rate_mult: int = 10, pixel_noise: float = 1.0,
     kf_idx = np.round((times - times[0]) / dt_imu).astype(int)
     v_kf = v_fine[jnp.asarray(np.minimum(kf_idx, v_fine.shape[0] - 1))]
 
+    from libwave_tpu.optim.schur import ell_tables
+
+    obs_of_pose, obs_of_lm = ell_tables(
+        pose_idx, lm_idx, N, int(dataset.landmarks.shape[0])
+    )
     problem = VIOProblem(
         K=jnp.asarray(dataset.camera_K, dtype),
         pose_idx=pose_idx,
@@ -418,6 +429,8 @@ def vio_from_sim(dataset, imu_rate_mult: int = 10, pixel_noise: float = 1.0,
         bias_prior_sqrt_info=jnp.concatenate(
             [jnp.full((3,), 1e2, dtype), jnp.full((3,), 1e1, dtype)]
         ),
+        obs_of_pose=obs_of_pose,
+        obs_of_lm=obs_of_lm,
         free_pose=jnp.asarray(free, dtype),
         q_BC=qbc,
         pixel_sigma=max(pixel_noise, 0.5),
