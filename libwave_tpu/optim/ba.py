@@ -79,6 +79,11 @@ class BAConfig:
     # landmarks from creeping along near-null directions.
     relative_decrease_tol: float = 1e-5
     absolute_decrease_tol: float = 1e-9
+    # Huber robust loss scale in pixels (None = plain L2). Applied by IRLS
+    # reweighting; the acceptance cost uses the same robustified objective.
+    # (Ceres LossFunction slot — the reference passes NULL there, ba.cpp:30,
+    # but real feature tracks need it.)
+    huber_delta: float = None
 
     def validate(self):
         if self.max_iterations <= 0:
@@ -91,9 +96,20 @@ class BAConfig:
 _CHEIRALITY_PENALTY = 1e6
 
 
-def ba_cost(problem: BAProblem, state: BAState) -> jnp.ndarray:
-    """0.5 * weighted squared reprojection error + pose-graph factor cost
-    + a fixed penalty per behind-camera observation."""
+def _huber_rho(sq_norm, delta):
+    """Huber loss on squared residual norms: 0.5 r^2 inside, delta(|r| -
+    0.5 delta) outside."""
+    rn = jnp.sqrt(jnp.maximum(sq_norm, 1e-20))
+    return jnp.where(
+        rn <= delta, 0.5 * sq_norm, delta * (rn - 0.5 * delta)
+    )
+
+
+def ba_cost(problem: BAProblem, state: BAState,
+            huber_delta: float | None = None) -> jnp.ndarray:
+    """Weighted (optionally Huber-robustified) reprojection cost +
+    pose-graph factor cost + a fixed penalty per behind-camera
+    observation."""
     r, valid = reprojection_residual(
         problem.K,
         state.q[problem.pose_idx],
@@ -101,7 +117,11 @@ def ba_cost(problem: BAProblem, state: BAState) -> jnp.ndarray:
         state.lm[problem.lm_idx],
         problem.uv,
     )
-    c = 0.5 * jnp.sum(problem.weight * jnp.sum(r * r, axis=-1))
+    sq = jnp.sum(r * r, axis=-1)
+    if huber_delta is None:
+        c = 0.5 * jnp.sum(problem.weight * sq)
+    else:
+        c = jnp.sum(problem.weight * _huber_rho(sq, huber_delta))
     c = c + _CHEIRALITY_PENALTY * jnp.sum(
         problem.weight * (~valid).astype(r.dtype)
     )
@@ -123,6 +143,10 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _):
         problem.uv,
     )
     w = problem.weight * valid.astype(r.dtype)
+    if cfg.huber_delta is not None:
+        # IRLS weight rho'(r)/|r| = min(1, delta/|r|)
+        rn = jnp.sqrt(jnp.maximum(jnp.sum(r * r, axis=-1), 1e-20))
+        w = w * jnp.minimum(1.0, cfg.huber_delta / rn)
 
     # pose-graph factor contributions (odometry between-factors + priors)
     extra_Hpp = None
@@ -172,7 +196,7 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _):
         p=state.p + dx_pose[:, 3:6] * free,
         lm=state.lm + dx_lm,
     )
-    new_cost = ba_cost(problem, new_state)
+    new_cost = ba_cost(problem, new_state, cfg.huber_delta)
     step_ok = jnp.isfinite(jnp.sum(dx_pose)) & jnp.isfinite(jnp.sum(dx_lm))
     accept = (new_cost < cost) & ~converged & jnp.isfinite(new_cost) & step_ok
     decrease = cost - new_cost
@@ -202,7 +226,7 @@ def solve_ba(problem: BAProblem, state: BAState, cfg: BAConfig = BAConfig()):
     jit-able; wrap in jax.jit for production use.
     """
     lam0 = jnp.asarray(cfg.init_lambda, dtype=state.p.dtype)
-    cost0 = ba_cost(problem, state)
+    cost0 = ba_cost(problem, state, cfg.huber_delta)
     carry = (state, lam0, cost0, jnp.asarray(False))
     carry, (costs, accepts, cg_iters) = jax.lax.scan(
         lambda c, x: _lm_iteration(problem, cfg, c, x),

@@ -46,15 +46,26 @@ class PriorBank(NamedTuple):
     sqrt_info: jnp.ndarray  # (P, 6)
 
 
-def between_from_trajectory(q, p, sigmas_rot, sigmas_trans, stride: int = 1):
-    """Build consecutive-pose odometry measurements from a (noise-free)
-    trajectory, as the reference does from ground truth
-    (gtsam_offline_example.cpp:62-74)."""
+def between_from_trajectory(q, p, sigmas_rot, sigmas_trans, stride: int = 1,
+                            noise_key=None):
+    """Build consecutive-pose odometry measurements from a trajectory, as the
+    reference does from ground truth (gtsam_offline_example.cpp:62-74).
+    With ``noise_key``, each measurement is perturbed by the factor's own
+    sigmas (the artificial odometry noise of the KITTI example,
+    gtsam_offline_kitti_example.cpp:77-79)."""
     i = jnp.arange(0, q.shape[0] - stride, dtype=jnp.int32)
     j = i + stride
     qi_inv = so3.quat_inverse(q[i])
     dq = so3.quat_multiply(qi_inv, q[j])
     dp = so3.quat_rotate(qi_inv, p[j] - p[i])
+    if noise_key is not None:
+        import jax
+
+        k1, k2 = jax.random.split(noise_key)
+        dq = so3.quat_boxplus(
+            dq, sigmas_rot * jax.random.normal(k1, dq.shape[:-1] + (3,), p.dtype)
+        )
+        dp = dp + sigmas_trans * jax.random.normal(k2, dp.shape, p.dtype)
     si = jnp.concatenate(
         [
             jnp.full((i.shape[0], 3), 1.0 / sigmas_rot, dtype=p.dtype),

@@ -216,15 +216,33 @@ def load_vo_dataset(in_dir: str, num_landmarks: int | None = None) -> VoDataset:
     """Load a dataset in the reference directory format back into dense
     arrays (VoDataset::loadFromDirectory). Handles datasets written by this
     module and by the reference (e.g. KITTI-derived feature-track exports)."""
-    lm_raw = np.loadtxt(os.path.join(in_dir, "landmarks.dat"), ndmin=2)
-    ids = lm_raw[:, 0].astype(int)
-    M = (int(ids.max()) + 1) if num_landmarks is None else num_landmarks
-    landmarks = np.zeros((M, 3))
-    landmarks[ids] = lm_raw[:, 1:4]
+    lm_path = os.path.join(in_dir, "landmarks.dat")
     K = np.loadtxt(os.path.join(in_dir, "calib.dat")).reshape(3, 3)
 
     with open(os.path.join(in_dir, "index.dat")) as f:
         names = [ln.strip() for ln in f if ln.strip()]
+
+    if os.path.exists(lm_path):
+        lm_raw = np.loadtxt(lm_path, ndmin=2)
+        ids = lm_raw[:, 0].astype(int)
+        M = (int(ids.max()) + 1) if num_landmarks is None else num_landmarks
+        landmarks = np.zeros((M, 3))
+        landmarks[ids] = lm_raw[:, 1:4]
+    else:
+        # datasets exported from real drives carry no landmark ground truth
+        # (e.g. the reference's vo_data_drive_0036); size the table from the
+        # largest observed id
+        max_id = -1
+        for name in names:
+            with open(os.path.join(in_dir, os.path.basename(name))) as f:
+                toks = f.read().split()
+            n_obs = int(float(toks[8]))
+            for k in range(n_obs):
+                if 9 + 3 * k >= len(toks):
+                    break  # tolerate truncated rows in exported datasets
+                max_id = max(max_id, int(float(toks[9 + 3 * k])))
+        M = (max_id + 1) if num_landmarks is None else num_landmarks
+        landmarks = np.zeros((M, 3))
 
     T = len(names)
     times = np.zeros(T)
@@ -241,7 +259,12 @@ def load_vo_dataset(in_dir: str, num_landmarks: int | None = None) -> VoDataset:
         x, y, z, w = (float(toks[k + j]) for j in range(4)); k += 4
         q_GB[i] = [w, x, y, z]
         n_obs = int(float(toks[k])); k += 1
-        for _ in range(n_obs):
+        # Some exported datasets (e.g. the reference's vo_data_drive_0036)
+        # declare more observations than the file contains; the reference's
+        # stream-based loader reads garbage past EOF there — we read only
+        # the rows actually present.
+        n_avail = (len(toks) - k) // 3
+        for _ in range(min(n_obs, n_avail)):
             j = int(float(toks[k])); k += 1
             u, v = float(toks[k]), float(toks[k + 1]); k += 2
             if j < M:

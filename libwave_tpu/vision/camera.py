@@ -56,3 +56,16 @@ def in_image(uv, image_width, image_height):
     (VoTestCamera.cpp:38-41: 0 < u < W, 0 < v < H)."""
     u, v = uv[..., 0], uv[..., 1]
     return (u > 0) & (u < image_width) & (v > 0) & (v < image_height)
+
+
+def backproject(K, q_GC, p_GC, uv, depth):
+    """Image point -> world point at the given camera-frame depth
+    (gtsam SimpleCamera::backproject, used by the reference's KITTI example
+    to initialize landmarks at depth 3, gtsam_offline_kitti_example.cpp:114).
+    Broadcasts over leading dims."""
+    K = jnp.asarray(K)
+    uv = jnp.asarray(uv)
+    x = (uv[..., 0] - K[0, 2]) / K[0, 0]
+    y = (uv[..., 1] - K[1, 2]) / K[1, 1]
+    pc = jnp.stack([x, y, jnp.ones_like(x)], axis=-1) * jnp.asarray(depth)[..., None]
+    return so3.quat_rotate(q_GC, pc) + p_GC
