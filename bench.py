@@ -68,18 +68,17 @@ def make_problem(num_poses=200, num_landmarks=10_000, obs_per_pose=300, seed=0):
 
     free = np.ones(num_poses, dtype=np.float32)
     free[:2] = 0
-    obs_of_pose, obs_of_lm = schur_mod.ell_tables(
-        pose_idx, lm_idx, num_poses, num_landmarks
+    pose_ell, lm_ell, pad_mask, ell, uv_p, w_p = schur_mod.pack_observations(
+        pose_idx, lm_idx, num_poses, num_landmarks, uv, weight
     )
     problem = BAProblem(
         K=Kmat,
-        pose_idx=jnp.asarray(pose_idx),
-        lm_idx=jnp.asarray(lm_idx),
-        uv=uv,
-        weight=weight,
+        pose_idx=pose_ell,
+        lm_idx=lm_ell,
+        uv=uv_p,
+        weight=w_p,
         free_pose=jnp.asarray(free),
-        obs_of_pose=obs_of_pose,
-        obs_of_lm=obs_of_lm,
+        ell=ell,
     )
     state = BAState(
         q=q.astype(jnp.float32),

@@ -26,13 +26,22 @@ import jax.numpy as jnp
 from libwave_tpu.geometry import so3
 from libwave_tpu.optim import pose_graph, schur
 from libwave_tpu.optim.reprojection import (
-    linearize_reprojection,
-    reprojection_residual,
+    linearize_reprojection_cm,
+    linearize_reprojection_ell,
+    reprojection_residual_cm,
+    reprojection_residual_ell,
 )
 
 
 class BAProblem(NamedTuple):
     """Fixed-shape bundle-adjustment problem.
+
+    When ``ell`` is set, the observation bank MUST be in pose-ELL order:
+    rectangular, ``Pmax = K_ / N`` slots per pose (pose_idx =
+    repeat(arange(N), Pmax)), padding slots carrying zero weight — use
+    :func:`libwave_tpu.optim.schur.pack_observations`. This is the fast
+    single-device layout. With ``ell=None`` the bank is a flat pose-sorted
+    list and the solver uses segment-sums (the sharded path).
 
     ``between``/``priors`` optionally add pose-graph factors (odometry and
     pose priors, the reference's BetweenFactor/PriorFactor graph structure);
@@ -47,8 +56,7 @@ class BAProblem(NamedTuple):
     free_pose: jnp.ndarray  # (N,) 1.0 free / 0.0 gauge-fixed
     between: object = None  # BetweenBank | None
     priors: object = None  # PriorBank | None
-    obs_of_pose: object = None  # (N, Pmax) ELL table (schur.ell_tables)
-    obs_of_lm: object = None  # (M, Lmax) ELL table
+    ell: object = None  # schur.EllLayout | None (pose-ELL fast path)
 
     @property
     def num_poses(self) -> int:
@@ -110,14 +118,21 @@ def ba_cost(problem: BAProblem, state: BAState,
     """Weighted (optionally Huber-robustified) reprojection cost +
     pose-graph factor cost + a fixed penalty per behind-camera
     observation."""
-    r, valid = reprojection_residual(
-        problem.K,
-        state.q[problem.pose_idx],
-        state.p[problem.pose_idx],
-        state.lm[problem.lm_idx],
-        problem.uv,
-    )
-    sq = jnp.sum(r * r, axis=-1)
+    if problem.ell is not None:
+        N = problem.free_pose.shape[0]
+        r, valid = reprojection_residual_ell(
+            problem.K, state.q, state.p, state.lm,
+            problem.lm_idx.reshape(N, -1),
+            problem.uv.T.reshape(2, N, -1),
+        )
+        r = r.reshape(2, -1)
+        valid = valid.reshape(-1)
+    else:
+        r, valid = reprojection_residual_cm(
+            problem.K, state.q, state.p, state.lm,
+            problem.pose_idx, problem.lm_idx, problem.uv.T,
+        )
+    sq = r[0] * r[0] + r[1] * r[1]
     if huber_delta is None:
         c = 0.5 * jnp.sum(problem.weight * sq)
     else:
@@ -135,17 +150,22 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _):
     N = problem.free_pose.shape[0]
     M = state.lm.shape[0]
 
-    r, J_pose, J_lm, valid = linearize_reprojection(
-        problem.K,
-        state.q[problem.pose_idx],
-        state.p[problem.pose_idx],
-        state.lm[problem.lm_idx],
-        problem.uv,
-    )
-    w = problem.weight * valid.astype(r.dtype)
+    if problem.ell is not None:
+        r, J_pose, J_lm, valid = linearize_reprojection_ell(
+            problem.K, state.q, state.p, state.lm,
+            problem.lm_idx.reshape(N, -1),
+            problem.uv.T.reshape(2, N, -1),
+        )
+        w = problem.weight.reshape(N, -1) * valid.astype(r.dtype)
+    else:
+        r, J_pose, J_lm, valid = linearize_reprojection_cm(
+            problem.K, state.q, state.p, state.lm,
+            problem.pose_idx, problem.lm_idx, problem.uv.T,
+        )
+        w = problem.weight * valid.astype(r.dtype)
     if cfg.huber_delta is not None:
         # IRLS weight rho'(r)/|r| = min(1, delta/|r|)
-        rn = jnp.sqrt(jnp.maximum(jnp.sum(r * r, axis=-1), 1e-20))
+        rn = jnp.sqrt(jnp.maximum(r[0] * r[0] + r[1] * r[1], 1e-20))
         w = w * jnp.minimum(1.0, cfg.huber_delta / rn)
 
     # pose-graph factor contributions (odometry between-factors + priors)
@@ -183,7 +203,7 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _):
         r, J_pose, J_lm, w, problem.pose_idx, problem.lm_idx,
         N, M, lam, problem.free_pose,
         extra_Hpp=extra_Hpp, extra_bp=extra_bp, couplings=couplings,
-        obs_of_pose=problem.obs_of_pose, obs_of_lm=problem.obs_of_lm,
+        ell=problem.ell,
     )
     rhs = schur.schur_rhs(blocks)
     cg = schur.pcg(blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol)
@@ -323,17 +343,18 @@ def ba_from_dataset(
             ),
         )
 
-    obs_of_pose, obs_of_lm = schur.ell_tables(pose_idx, lm_idx, N, M)
+    pose_ell, lm_ell, pad_mask, ell, uv_p = schur.pack_observations(
+        pose_idx, lm_idx, N, M, uv
+    )
     problem = BAProblem(
         K=jnp.asarray(dataset.camera_K),
-        pose_idx=jnp.asarray(pose_idx),
-        lm_idx=jnp.asarray(lm_idx),
-        uv=jnp.asarray(uv),
-        weight=jnp.ones(len(pose_idx), dtype=uv.dtype),
+        pose_idx=pose_ell,
+        lm_idx=lm_ell,
+        uv=uv_p,
+        weight=pad_mask.astype(uv.dtype),
         free_pose=jnp.asarray(free, dtype=uv.dtype),
         between=between,
         priors=priors,
-        obs_of_pose=obs_of_pose,
-        obs_of_lm=obs_of_lm,
+        ell=ell,
     )
     return problem, gt

@@ -3,18 +3,45 @@
 Device-side analog of the reference's Ceres configuration — SPARSE_SCHUR with
 the SCHUR_JACOBI preconditioner (wave_optimization/src/ceres/ba.cpp:49-52):
 
-- landmark (point) blocks are eliminated with batched 3x3 inverses;
+- landmark (point) blocks are eliminated with closed-form symmetric 3x3
+  inverses;
 - the reduced camera system ``S dx_p = b̃`` is solved *matrix-free*: each CG
-  matvec is two segment-sum sweeps over the observation bank (gather by
-  landmark, gather by pose) — O(K) work, no 6Nx6N matrix formed;
+  matvec is two sweeps over the observation bank (by landmark, then by
+  pose) — O(K) work, no DNxDN matrix formed;
 - the preconditioner is the block diagonal of S (SCHUR_JACOBI), computed in
   O(K) from the self-terms only.
 
+TPU layout design (the perf decisions in this file, in order of impact):
+
+1. **Component-major storage.** Per-observation block tensors like
+   ``(K, 6, 3)`` are catastrophic on TPU — the trailing ``(6, 3)`` dims tile
+   to ``(8, 128)`` registers, a ~57x HBM blowup. Everything per-observation
+   is stored component-major (``W`` is ``(D*3, ...)``, residuals ``(2, ...)``,
+   landmark blocks are 6 symmetric components ``(6, M)``) and the small
+   block algebra is written out as fused elementwise VPU ops over K-wide
+   lanes.
+
+2. **Pose-ELL ("dense by pose") observation order.** XLA gathers cost
+   ~2.5 ns/element on v5e — they dominate everything else here. Observations
+   are packed rectangular, ``Pmax`` padded slots per pose (zero weight on
+   padding), so the per-observation *pose-side* state gather becomes a free
+   broadcast of ``(C, N, 1)`` over slots, and the pose-side segment
+   reduction becomes a dense ``sum`` over the slot axis. This kills 4 of
+   the 6 index operations per CG matvec.
+
+3. **Log-shift segmented reduction on the landmark side.** The remaining
+   per-landmark reduction runs over a precomputed landmark-sorted
+   permutation: one (3, K) gather, then ceil(log2(Lmax)) masked
+   shift-and-add passes (a segmented Hillis-Steele scan with static
+   boundary masks), then one small gather at segment ends. Measured ~3x
+   faster than gather-table (ELL) reductions, and exact (tree-order sums).
+
 All shapes are static; CG runs a fixed iteration count under ``lax.scan``
-with convergence masking, so the whole solve jits and shards (the
-segment-sums become psum-able partial reductions when the observation bank
-is sharded across devices — see libwave_tpu.parallel). Pose blocks are
-D-dimensional (6 for pure BA, 15 for VIO's pose+vel+bias states).
+with convergence masking, so the whole solve jits and shards. When the
+observation bank is sharded across devices (libwave_tpu.parallel), the flat
+segment-sum fallback path is used instead and its partial sums psum over
+the mesh. Pose blocks are D-dimensional (6 for pure BA, 15 for VIO's
+pose+vel+bias states).
 """
 
 from __future__ import annotations
@@ -26,46 +53,120 @@ import jax.numpy as jnp
 import numpy as onp
 
 
-def ell_tables(pose_idx, lm_idx, num_poses: int, num_landmarks: int):
-    """Host-side construction of ELL (padded dense) index tables.
+class EllLayout(NamedTuple):
+    """Static index machinery for the pose-ELL observation order.
 
-    ``obs_of_pose[n, :]`` lists the observation rows of pose n (padded with
-    K, a dummy row index); similarly ``obs_of_lm``. Reductions over these
-    rectangular tables are dense gathers + sums — measured ~2x faster than
-    scatter-based segment sums on v5e for the BA matvec. Returns
-    (obs_of_pose (N, Pmax), obs_of_lm (M, Lmax)) as jnp arrays.
+    Built host-side by :func:`pack_observations`. All fields are arrays so
+    the layout can ride inside jit-traced problem pytrees; static quantities
+    (number of shift passes, Pmax) are encoded in shapes.
+    """
+
+    sigma: jnp.ndarray  # (K,) permutation: ELL-flat order -> landmark-sorted
+    shift_masks: jnp.ndarray  # (S, K) 1.0 where slot k-2^s is same landmark
+    seg_last: jnp.ndarray  # (M,) landmark-sorted position of each lm's last obs
+    has_obs: jnp.ndarray  # (M,) 1.0 for landmarks with >= 1 observation
+
+
+def pack_observations(pose_idx, lm_idx, num_poses, num_landmarks, *arrays,
+                      min_pmax=1):
+    """Host-side: reorder + pad an observation bank into pose-ELL order.
+
+    Pads each pose's observations to the common Pmax (rectangular bank,
+    ``K_ell = num_poses * Pmax``); padding rows MUST be masked by the caller
+    with zero weights — the returned ``pad_mask`` is 1.0 on real rows.
+    ``arrays`` are per-observation arrays (K, ...) to reorder+pad with zeros.
+
+    Returns ``(pose_idx, lm_idx, pad_mask, ell_layout, *packed_arrays)``.
     """
     pose_idx = onp.asarray(pose_idx)
     lm_idx = onp.asarray(lm_idx)
-    K = pose_idx.shape[0]
+    counts = onp.bincount(pose_idx, minlength=num_poses)
+    Pmax = max(int(counts.max()), min_pmax)
+    K_ell = num_poses * Pmax
 
-    def table(idx, num_segments):
-        counts = onp.bincount(idx, minlength=num_segments)
-        Lmax = max(int(counts.max()), 1)
-        t = onp.full((num_segments, Lmax), K, dtype=onp.int32)
-        cur = onp.zeros(num_segments, dtype=onp.int64)
-        for k, seg in enumerate(idx):
-            t[seg, cur[seg]] = k
-            cur[seg] += 1
-        return jnp.asarray(t)
+    # slot index of every original observation
+    order = onp.argsort(pose_idx, kind="stable")
+    slot = onp.full(K_ell, -1, dtype=onp.int64)  # -> original obs or -1
+    write = 0
+    pos = 0
+    for n in range(num_poses):
+        c = int(counts[n])
+        slot[n * Pmax:n * Pmax + c] = order[pos:pos + c]
+        pos += c
+    pad_mask = (slot >= 0).astype(onp.float64)
+    safe = onp.where(slot >= 0, slot, 0)
 
-    return table(pose_idx, num_poses), table(lm_idx, num_landmarks)
+    lm_ell = onp.where(slot >= 0, lm_idx[safe], 0).astype(onp.int32)
+    pose_ell = onp.repeat(onp.arange(num_poses, dtype=onp.int32), Pmax)
+
+    packed = []
+    for a in arrays:
+        a = onp.asarray(a)
+        out = a[safe] * pad_mask.reshape(
+            (K_ell,) + (1,) * (a.ndim - 1)
+        ).astype(a.dtype)
+        packed.append(jnp.asarray(out))
+
+    ell = build_ell_layout(lm_ell, num_landmarks)
+    return (
+        jnp.asarray(pose_ell),
+        jnp.asarray(lm_ell),
+        jnp.asarray(pad_mask),
+        ell,
+        *packed,
+    )
 
 
-def _ell_reduce(vals, table):
-    """Sum rows of ``vals`` (K, ...) grouped by an ELL table (S, Lmax) padded
-    with index K (a zero dummy row is appended)."""
-    pad = jnp.zeros((1,) + vals.shape[1:], vals.dtype)
-    padded = jnp.concatenate([vals, pad], axis=0)
-    return jnp.sum(padded[table], axis=1)
+def build_ell_layout(lm_idx, num_landmarks) -> EllLayout:
+    """Host-side landmark-reduction machinery for a (rectangular,
+    pose-ordered) observation bank: the landmark-sorted permutation, the
+    per-shift same-segment masks, and segment-end positions."""
+    lm_idx = onp.asarray(lm_idx)
+    K = lm_idx.shape[0]
+    sigma = onp.argsort(lm_idx, kind="stable").astype(onp.int32)
+    ids = lm_idx[sigma]
+    counts = onp.bincount(lm_idx, minlength=num_landmarks)
+    max_run = max(int(counts.max()), 1)
+    S = max(int(onp.ceil(onp.log2(max_run))), 1) if max_run > 1 else 0
+
+    masks = onp.zeros((max(S, 1), K), dtype=onp.float32)
+    for s in range(S):
+        d = 1 << s
+        masks[s, d:] = (ids[d:] == ids[:-d]).astype(onp.float32)
+    if S == 0:
+        masks = masks[:0]
+
+    last = onp.full(num_landmarks, 0, dtype=onp.int64)
+    has = onp.zeros(num_landmarks, dtype=onp.float32)
+    for pos, m in enumerate(ids):
+        last[m] = pos
+        has[m] = 1.0
+    return EllLayout(
+        sigma=jnp.asarray(sigma),
+        shift_masks=jnp.asarray(masks),
+        seg_last=jnp.asarray(last.astype(onp.int32)),
+        has_obs=jnp.asarray(has),
+    )
+
+
+def ell_seg_reduce(vals, ell: EllLayout):
+    """Per-landmark sums of ``vals`` (C, K) given the precomputed layout:
+    gather into landmark-sorted order, segmented Hillis-Steele up-sweep with
+    static boundary masks, then read each segment's inclusive total at its
+    end position. Exact (pure adds), ~3x faster than gather-table reduces.
+    Returns (C, M)."""
+    v = jnp.take(vals, ell.sigma, axis=-1)
+    for s in range(ell.shift_masks.shape[0]):
+        d = 1 << s
+        shifted = jnp.pad(v, ((0, 0), (d, 0)))[:, :-d]
+        v = v + shifted * ell.shift_masks[s]
+    out = jnp.take(v, ell.seg_last, axis=-1)
+    return out * ell.has_obs
 
 
 def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form batched 3x3 inverse (adjugate / determinant).
-
-    Much cheaper than LU on TPU for the (M, 3, 3) landmark blocks — pure
-    VPU elementwise math, no pivoting, trivially fusible.
-    """
+    """Closed-form batched 3x3 inverse (adjugate / determinant) for
+    block-layout ``(..., 3, 3)`` inputs. Pure VPU elementwise math."""
     a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
     g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
@@ -91,8 +192,42 @@ def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
     return adj * inv_det[..., None, None]
 
 
+# Symmetric-3x3 component order: [00, 01, 02, 11, 12, 22].
+_SYM3 = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+_SYM3_AT = {  # (i, j) -> component index, both triangles
+    (0, 0): 0, (0, 1): 1, (0, 2): 2,
+    (1, 0): 1, (1, 1): 3, (1, 2): 4,
+    (2, 0): 2, (2, 1): 4, (2, 2): 5,
+}
+
+
+def sym3_inv(s):
+    """Inverse of symmetric 3x3 in component form: s, out are (6, ...)."""
+    a, b, c, d, e, f = s[0], s[1], s[2], s[3], s[4], s[5]
+    A11 = d * f - e * e
+    A12 = c * e - b * f
+    A13 = b * e - c * d
+    A22 = a * f - c * c
+    A23 = b * c - a * e
+    A33 = a * d - b * b
+    det = a * A11 + b * A12 + c * A13
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
+    return jnp.stack([A11, A12, A13, A22, A23, A33]) * inv_det
+
+
+def sym3_matvec(s, v):
+    """y = S v for symmetric components s (6, ...) and v (3, ...)."""
+    return jnp.stack(
+        [
+            s[0] * v[0] + s[1] * v[1] + s[2] * v[2],
+            s[1] * v[0] + s[3] * v[1] + s[4] * v[2],
+            s[2] * v[0] + s[4] * v[1] + s[5] * v[2],
+        ]
+    )
+
+
 def cho_inverse(A: jnp.ndarray) -> jnp.ndarray:
-    """Batched SPD inverse via Cholesky triangular solves (for the (N, 6, 6)
+    """Batched SPD inverse via Cholesky triangular solves (for the (N, D, D)
     preconditioner blocks — avoids general LU pivoting)."""
     L = jnp.linalg.cholesky(A)
     eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
@@ -102,8 +237,46 @@ def cho_inverse(A: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(Linv, -1, -2) @ Linv
 
 
+def _tri_indices(D):
+    """Upper-triangle (i, j) pairs for a DxD symmetric block."""
+    return [(i, j) for i in range(D) for j in range(i, D)]
+
+
+def _assemble_sym(comps, D):
+    """(T, N) upper-triangle components -> (N, D, D) symmetric blocks."""
+    rows = [[None] * D for _ in range(D)]
+    for c, (i, j) in zip(comps, _tri_indices(D)):
+        rows[i][j] = c
+        rows[j][i] = c
+    return jnp.stack(
+        [jnp.stack(r, axis=-1) for r in rows], axis=-2
+    )  # (N, D, D)
+
+
+def _embed_block(H, D):
+    """Zero-pad (N, Dj, Dj) blocks into the top-left of (N, D, D)."""
+    Dj = H.shape[-1]
+    if Dj == D:
+        return H
+    return jnp.pad(H, ((0, 0), (0, D - Dj), (0, D - Dj)))
+
+
+def _pad_cols(x, D):
+    """Zero-pad (N, Dj) tangent data up to (N, D)."""
+    if x.shape[-1] == D:
+        return x
+    return jnp.pad(x, ((0, 0), (0, D - x.shape[-1])))
+
+
 class SchurBlocks(NamedTuple):
-    """Normal-equation blocks for a BA-structured problem.
+    """Normal-equation blocks for a BA-structured problem (component-major).
+
+    Two observation layouts share this container, distinguished by
+    ``W.ndim``:
+    - pose-ELL (fast, single device): W is (D*3, N, Pmax), ``ell`` holds the
+      landmark-reduction machinery, pose reductions are dense sums;
+    - flat (sharded path): W is (D*3, K), reductions are segment-sums over
+      ``pose_idx`` / sorted ``lm_idx`` whose partials psum over the mesh.
 
     ``C/ci/cj`` hold pose-pose off-diagonal couplings from pose-graph factors
     (odometry between-factors): H[ci, cj] += C, H[cj, ci] += C^T. They ride
@@ -111,72 +284,154 @@ class SchurBlocks(NamedTuple):
     zero-length arrays.
     """
 
-    Hpp: jnp.ndarray  # (N, 6, 6) pose diagonal blocks (damped)
-    Hll_inv: jnp.ndarray  # (M, 3, 3) inverted landmark blocks (damped)
-    W: jnp.ndarray  # (K, 6, 3) per-observation pose-landmark coupling
-    bp: jnp.ndarray  # (N, 6)
-    bl: jnp.ndarray  # (M, 3)
-    pose_idx: jnp.ndarray  # (K,) — MUST be non-decreasing (obs sorted by pose)
+    Hpp: jnp.ndarray  # (N, D, D) pose diagonal blocks (damped)
+    Hll_inv: jnp.ndarray  # (6, M) inverted landmark blocks, sym components
+    W: jnp.ndarray  # (D*3, N, Pmax) [ELL] or (D*3, K) [flat]
+    bp: jnp.ndarray  # (N, D)
+    bl: jnp.ndarray  # (3, M)
+    pose_idx: jnp.ndarray  # (K,) — non-decreasing (obs sorted by pose)
     lm_idx: jnp.ndarray  # (K,)
-    lm_perm: jnp.ndarray  # (K,) permutation sorting obs by landmark
-    lm_sorted: jnp.ndarray  # (K,) lm_idx[lm_perm]
-    free_pose: jnp.ndarray  # (N,) 1.0 for free poses, 0.0 for gauge-fixed
-    obs_of_pose: object  # (N, Pmax) ELL table or None (sharded path)
-    obs_of_lm: object  # (M, Lmax) ELL table or None
-    C: jnp.ndarray  # (F, 6, 6) pose-pose cross blocks
+    lm_perm: jnp.ndarray  # (K,) permutation sorting obs by landmark (flat)
+    lm_sorted: jnp.ndarray  # (K,) lm_idx[lm_perm] (flat)
+    free_pose: jnp.ndarray  # (N,) or (N, D): 1.0 free, 0.0 gauge-fixed
+    ell: object  # EllLayout | None
+    C: jnp.ndarray  # (F, D, D) pose-pose cross blocks
     ci: jnp.ndarray  # (F,)
     cj: jnp.ndarray  # (F,)
+
+
+def _seg_lm(blocks: SchurBlocks, vals):
+    """Reduce (C, K)/(C, N, Pmax) by landmark into (C, M)."""
+    C = vals.shape[0]
+    flat = vals.reshape(C, -1)
+    if blocks.ell is not None:
+        return ell_seg_reduce(flat, blocks.ell)
+    return jax.vmap(
+        lambda v: jax.ops.segment_sum(
+            v[blocks.lm_perm], blocks.lm_sorted,
+            num_segments=blocks.bl.shape[-1], indices_are_sorted=True,
+        )
+    )(flat)
+
+
+def _seg_pose(blocks: SchurBlocks, vals):
+    """Reduce by pose into (C, N): dense slot sum (ELL) or segment-sum."""
+    if blocks.ell is not None:
+        return jnp.sum(vals, axis=-1)  # (C, N, Pmax) -> (C, N)
+    return jax.vmap(
+        lambda v: jax.ops.segment_sum(
+            v, blocks.pose_idx, num_segments=blocks.bp.shape[0],
+            indices_are_sorted=True,
+        )
+    )(vals)
 
 
 def build_normal_equations(
     r, J_pose, J_lm, weights, pose_idx, lm_idx, num_poses, num_landmarks,
     damping, free_pose,
     extra_Hpp=None, extra_bp=None, couplings=None,
-    obs_of_pose=None, obs_of_lm=None,
+    ell: EllLayout | None = None, pose_dim: int | None = None,
 ) -> SchurBlocks:
     """Assemble damped normal-equation blocks from a linearized observation
-    bank via segment-sums (the TPU analog of sparse assembly).
+    bank (the TPU analog of sparse assembly).
 
-    ``weights`` (K,) fold in both validity masks and robust-loss weights.
-    ``damping`` is the LM lambda; diagonals are damped multiplicatively
-    (Marquardt scaling) with an additive floor for rank safety.
+    Accepts three input layouts:
+      - pose-ELL component-major (fast path; requires ``ell``): r (2, N,
+        Pmax), J_pose (2, D, N, Pmax), J_lm (2, 3, N, Pmax), weights
+        (N, Pmax);
+      - flat component-major: r (2, K), J_pose (2, D, K), J_lm (2, 3, K);
+      - flat block layout (converted): r (K, 2), J_pose (K, 2, D),
+        J_lm (K, 2, 3).
 
-    TPU note: ``pose_idx`` must be non-decreasing (observations emitted in
-    pose order — all problem builders do this); landmark-side reductions go
-    through a sort permutation computed here. Sorted segment-sums lower to
-    fast vectorized reductions instead of serialized scatter-adds (~6x
-    measured on v5e).
+    ``weights`` fold in validity masks, padding masks and robust-loss
+    weights. ``damping`` is the LM lambda; diagonals are damped
+    multiplicatively (Marquardt scaling) with an additive floor for rank
+    safety.
+
+    ``pose_dim``: full tangent dimension D of the pose blocks when the
+    observation Jacobian only touches the first ``J_pose.shape[1]`` of them
+    (VIO: reprojection touches [omega, dp] = 6 of the 15-dim keyframe
+    blocks). The untouched rows/cols are *structural* zeros — skipped in
+    Python, never materialized.
+
+    Flat-path TPU note: ``pose_idx`` must be non-decreasing (observations
+    emitted in pose order — all problem builders do this); landmark-side
+    reductions go through a sort permutation computed here. Sorted
+    segment-sums lower to fast vectorized reductions instead of serialized
+    scatter-adds (~6x measured on v5e).
     """
-    lm_perm = jnp.argsort(lm_idx)
-    lm_sorted = lm_idx[lm_perm]
+    K = pose_idx.shape[0]
+    if r.ndim == 2 and r.shape[0] == K and J_pose.shape[0] == K:
+        # block layout -> flat component-major
+        r = r.T  # (2, K)
+        J_pose = jnp.moveaxis(J_pose, 0, -1)  # (2, Dj, K)
+        J_lm = jnp.moveaxis(J_lm, 0, -1)  # (2, 3, K)
+    Dj = J_pose.shape[1]  # tangent dims touched by observations
+    D = pose_dim if pose_dim is not None else Dj
+    dtype = r.dtype
 
-    if obs_of_pose is not None:
-        seg_pose = lambda vals: _ell_reduce(vals, obs_of_pose)
+    if ell is None:
+        lm_perm = jnp.argsort(lm_idx)
+        lm_sorted = lm_idx[lm_perm]
     else:
-        seg_pose = lambda vals: jax.ops.segment_sum(
-            vals, pose_idx, num_segments=num_poses, indices_are_sorted=True
+        lm_perm = lm_idx  # unused on the ELL path; keep pytree shape stable
+        lm_sorted = lm_idx
+
+    w = weights  # (..., K) or (N, Pmax)
+    wJp = J_pose * w  # (2, Dj, ...)
+
+    # W[i*3+j] = sum_a Jp[a, i] w Jl[a, j]  (only the Dj touched rows)
+    W = jnp.stack(
+        [
+            wJp[0, i] * J_lm[0, j] + wJp[1, i] * J_lm[1, j]
+            for i in range(Dj)
+            for j in range(3)
+        ]
+    )  # (Dj*3, ...)
+
+    tri_p = _tri_indices(Dj)
+    Hpp_k = jnp.stack(
+        [wJp[0, i] * J_pose[0, j] + wJp[1, i] * J_pose[1, j] for i, j in tri_p]
+    )
+    Hll_k = jnp.stack(
+        [
+            w * (J_lm[0, i] * J_lm[0, j] + J_lm[1, i] * J_lm[1, j])
+            for i, j in _SYM3
+        ]
+    )
+    bp_k = -(wJp[0] * r[0] + wJp[1] * r[1])  # (Dj, ...)
+    wJl = J_lm * w
+    bl_k = -(wJl[0] * r[0] + wJl[1] * r[1])  # (3, ...)
+
+    if ell is not None:
+        # Inputs may be pose-ELL shaped (C, N, Pmax) or flat (C, K) in ELL
+        # order; reshaping is free (the bank is rectangular by construction).
+        seg_pose = lambda vals: jnp.sum(
+            vals.reshape(vals.shape[0], num_poses, -1), axis=-1
         )
-    if obs_of_lm is not None:
-        seg_lm = lambda vals: _ell_reduce(vals, obs_of_lm)
+        seg_lm = lambda vals: ell_seg_reduce(
+            vals.reshape(vals.shape[0], -1), ell
+        )
     else:
-        seg_lm = lambda vals: jax.ops.segment_sum(
-            vals[lm_perm], lm_sorted, num_segments=num_landmarks,
-            indices_are_sorted=True,
-        )
-    w = weights[:, None, None]
-    JpT = jnp.swapaxes(J_pose, -1, -2)  # (K, 6, 2)
-    JlT = jnp.swapaxes(J_lm, -1, -2)  # (K, 3, 2)
+        seg_pose = lambda vals: jax.vmap(
+            lambda v: jax.ops.segment_sum(
+                v, pose_idx, num_segments=num_poses, indices_are_sorted=True
+            )
+        )(vals)
+        seg_lm = lambda vals: jax.vmap(
+            lambda v: jax.ops.segment_sum(
+                v[lm_perm], lm_sorted, num_segments=num_landmarks,
+                indices_are_sorted=True,
+            )
+        )(vals)
 
-    Hpp_k = (JpT * w) @ J_pose  # (K, 6, 6)
-    Hll_k = (JlT * w) @ J_lm  # (K, 3, 3)
-    W = (JpT * w) @ J_lm  # (K, 6, 3)
-    bp_k = -jnp.einsum("kij,kj->ki", JpT * w, r)  # (K, 6)
-    bl_k = -jnp.einsum("kij,kj->ki", JlT * w, r)  # (K, 3)
+    Hpp = _embed_block(_assemble_sym(seg_pose(Hpp_k), Dj), D)  # (N, D, D)
+    Hll = seg_lm(Hll_k)  # (6, M)
+    bp = _pad_cols(seg_pose(bp_k).T, D)  # (N, D)
+    bl = seg_lm(bl_k)  # (3, M)
 
-    Hpp = seg_pose(Hpp_k)
-    Hll = seg_lm(Hll_k)
-    bp = seg_pose(bp_k)
-    bl = seg_lm(bl_k)
+    if ell is not None:
+        W = W.reshape(Dj * 3, num_poses, -1)  # matvec broadcasting layout
 
     # fold in pose-graph factor contributions (diagonal + rhs)
     if extra_Hpp is not None:
@@ -184,25 +439,22 @@ def build_normal_equations(
     if extra_bp is not None:
         bp = bp + extra_bp
 
-    dtype = r.dtype
-
     # Additive damping floor: must sit well above the dtype's cancellation
     # noise or degenerate blocks (unobserved landmarks) make the Schur
     # complement numerically indefinite and Cholesky NaNs out.
     floor = 1e-6 if dtype == jnp.float32 else 1e-10
 
-    def damp(H, n):
-        # Marquardt scaling: diag *= (1 + lambda), plus additive floor.
-        eye = jnp.eye(n, dtype=dtype)
-        diag = jnp.diagonal(H, axis1=-2, axis2=-1)  # (B, n)
-        add = damping * diag + floor
-        return H + eye * add[..., None, :]
+    # Marquardt scaling on pose blocks: diag *= (1 + lambda) + floor.
+    eye = jnp.eye(D, dtype=dtype)
+    diag = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
+    Hpp = Hpp + eye * (damping * diag + floor)[..., None, :]
 
-    Hpp = damp(Hpp, Hpp.shape[-1])
-    Hll = damp(Hll, 3)
+    # Same damping on the landmark blocks, in component form (diagonal
+    # components are 0, 3, 5).
+    diag_ix = jnp.asarray([0, 3, 5])
+    Hll = Hll.at[diag_ix].add(damping * Hll[diag_ix] + floor)
+    Hll_inv = sym3_inv(Hll)
 
-    D = Hpp.shape[-1]
-    Hll_inv = inv3x3(Hll)
     if couplings is None:
         C = jnp.zeros((0, D, D), dtype=dtype)
         ci = jnp.zeros((0,), dtype=jnp.int32)
@@ -212,8 +464,7 @@ def build_normal_equations(
     return SchurBlocks(
         Hpp=Hpp, Hll_inv=Hll_inv, W=W, bp=bp, bl=bl,
         pose_idx=pose_idx, lm_idx=lm_idx, lm_perm=lm_perm,
-        lm_sorted=lm_sorted, free_pose=free_pose,
-        obs_of_pose=obs_of_pose, obs_of_lm=obs_of_lm,
+        lm_sorted=lm_sorted, free_pose=free_pose, ell=ell,
         C=C, ci=ci, cj=cj,
     )
 
@@ -228,36 +479,55 @@ def _project(x, free_pose):
     return x * free_pose
 
 
+def _broadcast_pose(blocks: SchurBlocks, x):
+    """Per-observation view of per-pose data x (N, D): a free broadcast
+    (D, N, 1) on the ELL path, a gather on the flat path."""
+    if blocks.ell is not None:
+        return x.T[:, :, None]  # (D, N, 1) broadcasts over Pmax
+    return jnp.take(x.T, blocks.pose_idx, axis=-1)  # (D, K)
+
+
+def _gather_lm(blocks: SchurBlocks, y):
+    """Per-observation view of per-landmark data y (3, M)."""
+    yk = jnp.take(y, blocks.lm_idx, axis=-1)  # (3, K)
+    if blocks.ell is not None:
+        return yk.reshape((3,) + blocks.W.shape[1:])  # (3, N, Pmax)
+    return yk
+
+
+def _w_t_apply(W, xk):
+    """utx[j] = sum_i W[i*3+j] xk[i] over the Dj observation-touched rows."""
+    Dj = W.shape[0] // 3
+    return jnp.stack(
+        [sum(W[i * 3 + j] * xk[i] for i in range(Dj)) for j in range(3)]
+    )
+
+
+def _w_apply(W, yk):
+    """uy[i] = sum_j W[i*3+j] yk[j] -> (Dj, ...)."""
+    Dj = W.shape[0] // 3
+    return jnp.stack(
+        [sum(W[i * 3 + j] * yk[j] for j in range(3)) for i in range(Dj)]
+    )
+
+
 def schur_matvec(blocks: SchurBlocks, x: jnp.ndarray) -> jnp.ndarray:
-    """S x = Hpp x - U Hll^-1 U^T x, matrix-free. x: (N, 6) -> (N, 6)."""
+    """S x = Hpp x - U Hll^-1 U^T x, matrix-free. x: (N, D) -> (N, D)."""
+    D = blocks.bp.shape[1]
     x = _project(x, blocks.free_pose)
-    # Hpp x
+    # Hpp x — N is small, keep block layout
     out = jnp.einsum("nij,nj->ni", blocks.Hpp, x)
-    # U^T x: per observation W_k^T x[pose_k], summed by landmark (through
-    # the precomputed sort permutation -> fast sorted reduction)
-    xk = x[blocks.pose_idx]  # (K, 6)
-    utx_k = jnp.einsum("kij,ki->kj", blocks.W, xk)  # (K, 3)
-    if blocks.obs_of_lm is not None:
-        utx = _ell_reduce(utx_k, blocks.obs_of_lm)
-    else:
-        utx = jax.ops.segment_sum(
-            utx_k[blocks.lm_perm], blocks.lm_sorted,
-            num_segments=blocks.bl.shape[0], indices_are_sorted=True,
-        )
-    y = jnp.einsum("mij,mj->mi", blocks.Hll_inv, utx)  # (M, 3)
+    # U^T x: per observation W_k^T x[pose_k], summed by landmark
+    xk = _broadcast_pose(blocks, x)
+    utx = _seg_lm(blocks, _w_t_apply(blocks.W, xk))  # (3, M)
+    y = sym3_matvec(blocks.Hll_inv, utx)  # (3, M)
     # U y: per observation W_k y[lm_k], summed by pose
-    uy_k = jnp.einsum("kij,kj->ki", blocks.W, y[blocks.lm_idx])  # (K, 6)
-    if blocks.obs_of_pose is not None:
-        uy = _ell_reduce(uy_k, blocks.obs_of_pose)
-    else:
-        uy = jax.ops.segment_sum(
-            uy_k, blocks.pose_idx, num_segments=x.shape[0],
-            indices_are_sorted=True,
-        )
-    out = out - uy
+    yk = _gather_lm(blocks, y)
+    uy = _seg_pose(blocks, _w_apply(blocks.W, yk))  # (Dj, N)
+    out = out - _pad_cols(uy.T, D)
     # pose-pose couplings from pose-graph factors
     if blocks.C.shape[0] > 0:
-        cx_j = jnp.einsum("fij,fj->fi", blocks.C, x[blocks.cj])  # (F, 6)
+        cx_j = jnp.einsum("fij,fj->fi", blocks.C, x[blocks.cj])  # (F, D)
         cx_i = jnp.einsum("fji,fj->fi", blocks.C, x[blocks.ci])  # C^T x_i
         out = out + jax.ops.segment_sum(
             cx_j, blocks.ci, num_segments=x.shape[0]
@@ -270,38 +540,46 @@ def schur_matvec(blocks: SchurBlocks, x: jnp.ndarray) -> jnp.ndarray:
 
 def schur_rhs(blocks: SchurBlocks) -> jnp.ndarray:
     """b̃ = bp - U Hll^-1 bl."""
-    y = jnp.einsum("mij,mj->mi", blocks.Hll_inv, blocks.bl)
-    uy_k = jnp.einsum("kij,kj->ki", blocks.W, y[blocks.lm_idx])
-    if blocks.obs_of_pose is not None:
-        uy = _ell_reduce(uy_k, blocks.obs_of_pose)
-    else:
-        uy = jax.ops.segment_sum(
-            uy_k, blocks.pose_idx, num_segments=blocks.bp.shape[0],
-            indices_are_sorted=True,
-        )
-    return _project(blocks.bp - uy, blocks.free_pose)
+    D = blocks.bp.shape[1]
+    y = sym3_matvec(blocks.Hll_inv, blocks.bl)  # (3, M)
+    yk = _gather_lm(blocks, y)
+    uy = _seg_pose(blocks, _w_apply(blocks.W, yk))  # (Dj, N)
+    return _project(blocks.bp - _pad_cols(uy.T, D), blocks.free_pose)
 
 
 def schur_jacobi_preconditioner(blocks: SchurBlocks) -> jnp.ndarray:
     """Inverted block diagonal of S (the SCHUR_JACOBI preconditioner):
     P_i = (Hpp_i - sum_k W_k Hll_inv[lm_k] W_k^T)^{-1}, self-terms only."""
-    Wk = blocks.W
-    self_k = Wk @ blocks.Hll_inv[blocks.lm_idx] @ jnp.swapaxes(Wk, -1, -2)
-    if blocks.obs_of_pose is not None:
-        sub = _ell_reduce(self_k, blocks.obs_of_pose)
-    else:
-        sub = jax.ops.segment_sum(
-            self_k, blocks.pose_idx, num_segments=blocks.Hpp.shape[0],
-            indices_are_sorted=True,
-        )
+    D = blocks.bp.shape[1]
+    W = blocks.W
+    Dj = W.shape[0] // 3
+    hk = jnp.take(blocks.Hll_inv, blocks.lm_idx, axis=-1)  # (6, K)
+    if blocks.ell is not None:
+        hk = hk.reshape((6,) + W.shape[1:])
+    # T[i, l] = sum_j W[i, j] Hinv[j, l]
+    T = [
+        [
+            sum(W[i * 3 + j] * hk[_SYM3_AT[(j, l)]] for j in range(3))
+            for l in range(3)
+        ]
+        for i in range(Dj)
+    ]
+    # self[i, i'] = sum_l T[i, l] W[i', l]
+    self_k = jnp.stack(
+        [
+            sum(T[i][l] * W[i2 * 3 + l] for l in range(3))
+            for i, i2 in _tri_indices(Dj)
+        ]
+    )
+    sub = _embed_block(
+        _assemble_sym(_seg_pose(blocks, self_k), Dj), D
+    )  # (N, D, D)
     S_diag = blocks.Hpp - sub
     # Gauge-fixed coordinates get identity rows/cols so CG stays
     # well-defined on their (projected-out) subspace.
-    eye = jnp.eye(S_diag.shape[-1], dtype=S_diag.dtype)
+    eye = jnp.eye(D, dtype=S_diag.dtype)
     if blocks.free_pose.ndim == 1:
-        m = jnp.broadcast_to(
-            blocks.free_pose[:, None], S_diag.shape[:2]
-        )
+        m = jnp.broadcast_to(blocks.free_pose[:, None], S_diag.shape[:2])
     else:
         m = blocks.free_pose
     S_diag = m[:, :, None] * S_diag * m[:, None, :]
@@ -321,11 +599,13 @@ def pcg(blocks: SchurBlocks, b, max_iters: int = 100, tol: float = 1e-8) -> CGRe
     """Preconditioned conjugate gradients on the reduced camera system.
 
     Runs exactly ``max_iters`` iterations under ``lax.scan`` with
-    convergence *masking* (updates freeze once the residual is below tol)
-    instead of a data-dependent ``while_loop`` — static control flow is the
-    TPU rule (SURVEY.md §7): a while predicate would force a device->host
-    sync every iteration, which through a remote runtime costs more than the
-    iteration itself.
+    convergence *masking* instead of a data-dependent ``while_loop`` —
+    static control flow is the TPU rule (SURVEY.md §7): a while predicate
+    would force a device->host sync every iteration, which through a remote
+    runtime costs more than the iteration itself. Masking is applied to the
+    scalar step sizes only (alpha/beta -> 0 freezes x, r, rz; p decays to z
+    harmlessly since alpha stays 0), which keeps the loop body at two
+    reductions and zero extra array traffic.
     """
     P = schur_jacobi_preconditioner(blocks)
 
@@ -336,50 +616,42 @@ def pcg(blocks: SchurBlocks, b, max_iters: int = 100, tol: float = 1e-8) -> CGRe
         )
 
     b = _project(b, blocks.free_pose)
-    b_norm = jnp.sqrt(jnp.vdot(b, b))
     x0 = jnp.zeros_like(b)
     r0 = b
     z0 = apply_P(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
-    thresh = tol * (b_norm + 1e-30)
+    rr0 = jnp.vdot(b, b)
+    thresh_sq = (tol * tol) * rr0
 
     def body(state, _):
-        x, r, z, p, rz, it, done = state
+        x, r, z, p, rz, rr, it = state
+        live = rr > thresh_sq
         Sp = schur_matvec(blocks, p)
         denom = jnp.vdot(p, Sp)
-        alpha = rz / jnp.where(denom == 0, 1.0, denom)
-        x_new = x + alpha * p
-        r_new = r - alpha * Sp
-        z_new = apply_P(r_new)
-        rz_new = jnp.vdot(r_new, z_new)
-        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-        p_new = z_new + beta * p
+        alpha = jnp.where(
+            live, rz / jnp.where(denom == 0, 1.0, denom), 0.0
+        )
+        x = x + alpha * p
+        r = r - alpha * Sp
+        z_new = apply_P(r)
+        rz_new = jnp.vdot(r, z_new)
+        rr = jnp.vdot(r, r)
+        beta = jnp.where(live, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        p = z_new + beta * p
+        rz = jnp.where(live, rz_new, rz)
+        it = it + live.astype(jnp.int32)
+        return (x, r, z_new, p, rz, rr, it), None
 
-        keep = ~done
-        x = jnp.where(keep, x_new, x)
-        r = jnp.where(keep, r_new, r)
-        z = jnp.where(keep, z_new, z)
-        p = jnp.where(keep, p_new, p)
-        rz = jnp.where(keep, rz_new, rz)
-        it = it + keep.astype(jnp.int32)
-        done = done | (jnp.sqrt(jnp.vdot(r, r)) <= thresh)
-        return (x, r, z, p, rz, it, done), None
-
-    init = (x0, r0, z0, p0, rz0, jnp.asarray(0), b_norm <= thresh)
-    (x, r, _, _, _, it, _), _ = jax.lax.scan(body, init, None, length=max_iters)
-    return CGResult(x=x, iterations=it, residual_norm=jnp.sqrt(jnp.vdot(r, r)))
+    init = (x0, r0, z0, p0, rz0, rr0, jnp.asarray(0))
+    (x, r, _, _, _, rr, it), _ = jax.lax.scan(
+        body, init, None, length=max_iters
+    )
+    return CGResult(x=x, iterations=it, residual_norm=jnp.sqrt(rr))
 
 
 def back_substitute(blocks: SchurBlocks, dx_pose: jnp.ndarray) -> jnp.ndarray:
-    """dx_lm = Hll^-1 (bl - U^T dx_pose)."""
-    xk = _project(dx_pose, blocks.free_pose)[blocks.pose_idx]
-    utx_k = jnp.einsum("kij,ki->kj", blocks.W, xk)
-    if blocks.obs_of_lm is not None:
-        utx = _ell_reduce(utx_k, blocks.obs_of_lm)
-    else:
-        utx = jax.ops.segment_sum(
-            utx_k[blocks.lm_perm], blocks.lm_sorted,
-            num_segments=blocks.bl.shape[0], indices_are_sorted=True,
-        )
-    return jnp.einsum("mij,mj->mi", blocks.Hll_inv, blocks.bl - utx)
+    """dx_lm = Hll^-1 (bl - U^T dx_pose). Returns (M, 3)."""
+    xk = _broadcast_pose(blocks, _project(dx_pose, blocks.free_pose))
+    utx = _seg_lm(blocks, _w_t_apply(blocks.W, xk))  # (3, M)
+    return sym3_matvec(blocks.Hll_inv, blocks.bl - utx).T

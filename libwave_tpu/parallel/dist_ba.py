@@ -49,9 +49,9 @@ def shard_ba_problem(problem: BAProblem, state: BAState, mesh: Mesh):
     # uses sorted segment-sums), so pad with the LAST pose index; the
     # padded rows are fully masked by their zero weight either way.
     last_pose = problem.free_pose.shape[0] - 1
-    # the ELL fast path indexes the global observation bank; the sharded
-    # path uses sharded segment-sums instead
-    problem = problem._replace(obs_of_pose=None, obs_of_lm=None)
+    # the pose-ELL fast path permutes the global observation bank; the
+    # sharded path uses sharded segment-sums instead
+    problem = problem._replace(ell=None)
     problem = problem._replace(
         pose_idx=_pad_axis(problem.pose_idx, dp, fill=last_pose),
         lm_idx=_pad_axis(problem.lm_idx, dp),

@@ -30,8 +30,8 @@ from libwave_tpu.geometry.se3 import SE3
 from libwave_tpu.optim import schur
 from libwave_tpu.optim.imu import PreintegratedImu, imu_residual, imu_sqrt_info
 from libwave_tpu.optim.reprojection import (
-    linearize_reprojection,
-    reprojection_residual,
+    linearize_reprojection_ell,
+    reprojection_residual_ell,
 )
 
 D = 15  # keyframe tangent dim: [pose(6), vel(3), bg(3), ba(3)]
@@ -64,11 +64,11 @@ class VIOState(NamedTuple):
 
 class VIOProblem(NamedTuple):
     K: jnp.ndarray  # (3, 3) intrinsics
-    # reprojection bank
+    # reprojection bank, pose-ELL order (schur.pack_observations)
     pose_idx: jnp.ndarray  # (K_,)
     lm_idx: jnp.ndarray  # (K_,)
     uv: jnp.ndarray  # (K_, 2)
-    obs_weight: jnp.ndarray  # (K_,)
+    obs_weight: jnp.ndarray  # (K_,) zero on padding slots
     # IMU bank: one preintegrated window per consecutive keyframe pair,
     # stacked (pytree of arrays with leading axis F)
     pim: PreintegratedImu  # leading dim F on every field
@@ -82,8 +82,7 @@ class VIOProblem(NamedTuple):
     # zero-mean bias prior per keyframe (weak, regularizes the weakly
     # observable bias directions — standard VIO practice)
     bias_prior_sqrt_info: jnp.ndarray = None  # (6,) or None
-    obs_of_pose: object = None  # ELL table (schur.ell_tables)
-    obs_of_lm: object = None
+    ell: object = None  # schur.EllLayout (pose-ELL fast path)
     pixel_sigma: float = 1.0
     gravity: tuple = (0.0, 0.0, -9.81)
 
@@ -157,17 +156,20 @@ def _camera_quats(problem, q_body):
 
 
 def vio_cost(problem: VIOProblem, state: VIOState) -> jnp.ndarray:
-    r, valid = reprojection_residual(
+    N = problem.free_pose.shape[0]
+    r, valid = reprojection_residual_ell(
         problem.K,
-        _camera_quats(problem, state.q[problem.pose_idx]),
-        state.p[problem.pose_idx],
-        state.lm[problem.lm_idx],
-        problem.uv,
+        _camera_quats(problem, state.q),  # (N, 4) camera orientations
+        state.p,
+        state.lm,
+        problem.lm_idx.reshape(N, -1),
+        problem.uv.T.reshape(2, N, -1),
     )
-    w = problem.obs_weight * valid.astype(r.dtype) / problem.pixel_sigma**2
-    c = 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
+    wf = problem.obs_weight.reshape(N, -1)
+    w = wf * valid.astype(r.dtype) / problem.pixel_sigma**2
+    c = 0.5 * jnp.sum(w * (r[0] * r[0] + r[1] * r[1]))
     # behind-camera observations carry a fixed penalty (see ba_cost)
-    c = c + 1e6 * jnp.sum(problem.obs_weight * (~valid).astype(r.dtype))
+    c = c + 1e6 * jnp.sum(wf * (~valid).astype(r.dtype))
     r_imu, _, _ = _imu_linearize(problem, state)
     c = c + 0.5 * jnp.sum(r_imu * r_imu)
     r_bw, _, _ = _bias_walk_linearize(problem, state)
@@ -185,24 +187,41 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _):
     M = state.lm.shape[0]
     dtype = state.p.dtype
 
-    # reprojection bank -> (K, 2, 15) with zeros on vel/bias columns.
+    # reprojection bank, pose-ELL component-major: the Jacobian touches
+    # only the [omega, dp] 6 of the 15 tangent dims (structural zeros are
+    # skipped via build_normal_equations' pose_dim).
     # States are BODY poses; the camera orientation is q_body * q_BC with
     # zero lever arm (the reference camera sits at the body origin,
     # VoDataset.cpp:237-246). A right perturbation phi on the body maps to
     # R_BC^T phi on the camera, so J_omega_body = J_omega_cam @ R_BC^T.
-    r, J6, J_lm, valid = linearize_reprojection(
+    r, J6, J_lm, valid = linearize_reprojection_ell(
         problem.K,
-        _camera_quats(problem, state.q[problem.pose_idx]),
-        state.p[problem.pose_idx],
-        state.lm[problem.lm_idx],
-        problem.uv,
+        _camera_quats(problem, state.q),
+        state.p,
+        state.lm,
+        problem.lm_idx.reshape(N, -1),
+        problem.uv.T.reshape(2, N, -1),
     )
     if problem.q_BC is not None:
-        R_BC_T = so3.quat_to_rot(so3.quat_inverse(problem.q_BC))
-        J6 = J6.at[:, :, 0:3].set(J6[:, :, 0:3] @ R_BC_T)
-    Kn = r.shape[0]
-    J_pose = jnp.zeros((Kn, 2, D), dtype).at[:, :, 0:6].set(J6)
-    w = problem.obs_weight * valid.astype(dtype) / problem.pixel_sigma**2
+        # J_omega_body[a, i] = sum_b J_omega_cam[a, b] R_BC[i, b]
+        R_BC = so3.quat_to_rot(problem.q_BC)
+        Jw = jnp.stack(
+            [
+                jnp.stack(
+                    [
+                        sum(J6[a, b] * R_BC[i, b] for b in range(3))
+                        for i in range(3)
+                    ]
+                )
+                for a in range(2)
+            ]
+        )
+        J6 = jnp.concatenate([Jw, J6[:, 3:6]], axis=1)
+    w = (
+        problem.obs_weight.reshape(N, -1)
+        * valid.astype(dtype)
+        / problem.pixel_sigma**2
+    )
 
     # IMU + bias-walk factors -> diagonal contributions + couplings
     r_imu, Ji, Jj = _imu_linearize(problem, state)
@@ -237,10 +256,10 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _):
         )
 
     blocks = schur.build_normal_equations(
-        r, J_pose, J_lm, w, problem.pose_idx, problem.lm_idx,
+        r, J6, J_lm, w, problem.pose_idx, problem.lm_idx,
         N, M, lam, problem.free_pose,
         extra_Hpp=extra_Hpp, extra_bp=extra_bp, couplings=couplings,
-        obs_of_pose=problem.obs_of_pose, obs_of_lm=problem.obs_of_lm,
+        ell=problem.ell, pose_dim=D,
     )
     rhs = schur.schur_rhs(blocks)
     cg = schur.pcg(blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol)
@@ -410,17 +429,15 @@ def vio_from_sim(dataset, imu_rate_mult: int = 10, pixel_noise: float = 1.0,
     kf_idx = np.round((times - times[0]) / dt_imu).astype(int)
     v_kf = v_fine[jnp.asarray(np.minimum(kf_idx, v_fine.shape[0] - 1))]
 
-    from libwave_tpu.optim.schur import ell_tables
-
-    obs_of_pose, obs_of_lm = ell_tables(
-        pose_idx, lm_idx, N, int(dataset.landmarks.shape[0])
+    pose_ell, lm_ell, pad_mask, ell, uv_p = schur.pack_observations(
+        pose_idx, lm_idx, N, int(dataset.landmarks.shape[0]), np.asarray(uv)
     )
     problem = VIOProblem(
         K=jnp.asarray(dataset.camera_K, dtype),
-        pose_idx=pose_idx,
-        lm_idx=lm_idx,
-        uv=uv,
-        obs_weight=jnp.ones(uv.shape[0], dtype),
+        pose_idx=pose_ell,
+        lm_idx=lm_ell,
+        uv=jnp.asarray(uv_p, dtype),
+        obs_weight=pad_mask.astype(dtype),
         pim=pim_stack,
         imu_i=jnp.arange(N - 1, dtype=jnp.int32),
         imu_j=jnp.arange(1, N, dtype=jnp.int32),
@@ -429,8 +446,7 @@ def vio_from_sim(dataset, imu_rate_mult: int = 10, pixel_noise: float = 1.0,
         bias_prior_sqrt_info=jnp.concatenate(
             [jnp.full((3,), 1e2, dtype), jnp.full((3,), 1e1, dtype)]
         ),
-        obs_of_pose=obs_of_pose,
-        obs_of_lm=obs_of_lm,
+        ell=ell,
         free_pose=jnp.asarray(free, dtype),
         q_BC=qbc,
         pixel_sigma=max(pixel_noise, 0.5),

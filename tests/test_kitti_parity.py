@@ -78,18 +78,20 @@ def test_kitti_drive_0036_offline_vo():
             axis=-1,
         ),
     )
-    obs_of_pose, obs_of_lm = schur.ell_tables(pose_idx, lm_idx, N, M)
+    pose_ell, lm_ell, pad_mask, ell, uv_p = schur.pack_observations(
+        pose_idx, lm_idx, N, M, np.asarray(uv)
+    )
+    uv = uv_p
     problem = BAProblem(
         K=ds.camera_K,
-        pose_idx=jnp.asarray(pose_idx),
-        lm_idx=jnp.asarray(lm_idx),
-        uv=uv,
-        weight=jnp.ones(len(pose_idx), dtype),  # 1 px noise model
+        pose_idx=pose_ell,
+        lm_idx=lm_ell,
+        uv=uv_p,
+        weight=pad_mask.astype(dtype),  # 1 px noise model
         free_pose=jnp.ones(N, dtype),  # soft gauge via the priors
         between=between,
         priors=priors,
-        obs_of_pose=obs_of_pose,
-        obs_of_lm=obs_of_lm,
+        ell=ell,
     )
 
     # initial poses: ground truth composed with the example's fixed offset
