@@ -50,6 +50,17 @@ from libwave_tpu.optim.imu import (  # noqa: F401
 )
 from libwave_tpu.optim.pose_graph import (  # noqa: F401
     BetweenBank,
+    PoseGraphConfig,
     PriorBank,
     between_from_trajectory,
+    pose_graph_cost,
+    solve_pose_graph,
+)
+from libwave_tpu.optim.nlls import (  # noqa: F401
+    LMConfig,
+    LMResult,
+    curve_fit,
+    exp_curve_residual,
+    lm_solve,
+    numeric_jacobian,
 )

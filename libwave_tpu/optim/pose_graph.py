@@ -131,6 +131,148 @@ def linearize_prior(bank: PriorBank, q, p):
     return jax.vmap(one)(bank.i, bank.q, bank.p, bank.sqrt_info)
 
 
+class PoseGraphConfig(NamedTuple):
+    """Knobs for :func:`solve_pose_graph` (defaults sized for odometry graphs
+    with loop closures; the reference's analog is GTSAM LM defaults in
+    gtsam_offline_example.cpp:133-134)."""
+
+    max_iterations: int = 15
+    cg_max_iters: int = 60
+    cg_tol: float = 1e-8
+    damping: float = 1e-8
+
+
+def _scatter6(i, j, Ji, Jj, y, n):
+    """out[k] = sum_{f: i_f=k} Ji_f^T y_f + sum_{f: j_f=k} Jj_f^T y_f."""
+    ti = jnp.einsum("fab,fa->fb", Ji, y)
+    tj = jnp.einsum("fab,fa->fb", Jj, y)
+    out = jax.ops.segment_sum(ti, i, num_segments=n)
+    return out + jax.ops.segment_sum(tj, j, num_segments=n)
+
+
+def solve_pose_graph(
+    q,
+    p,
+    between: BetweenBank,
+    priors: PriorBank | None = None,
+    free=None,
+    cfg: PoseGraphConfig = PoseGraphConfig(),
+):
+    """Gauss-Newton pose-graph optimization, fully on device.
+
+    TPU-native analog of the reference's GTSAM ``LevenbergMarquardtOptimizer``
+    over BetweenFactor/PriorFactor graphs (gtsam_offline_example.cpp:62-134):
+    instead of a sparse elimination ordering, each GN step solves the normal
+    equations matrix-free — the Hessian-vector product is two vmapped 6x6
+    block products plus segment-sums (scatter over pose ids), solved by PCG
+    with a block-Jacobi (6x6 block diagonal) preconditioner. Everything is
+    fixed-shape: the iteration loop is a ``lax.scan``.
+
+    Args:
+      q, p: (N, 4) quaternions + (N, 3) positions (initial estimate).
+      free: optional (N,) mask, 0 = gauge-fixed pose (default: pose 0 fixed).
+
+    Returns (q, p, info dict with cost trace).
+    """
+    n = q.shape[0]
+    dtype = p.dtype
+    if free is None:
+        # gauge: if priors anchor the graph, every pose is free; otherwise
+        # fix pose 0 (the reference fixes gauge the same two ways —
+        # PriorFactor in the gtsam examples, SetParameterBlockConstant in
+        # ba_test.cpp:156-161)
+        if priors is not None:
+            free = jnp.ones((n,), dtype)
+        else:
+            free = jnp.ones((n,), dtype).at[0].set(0.0)
+    free = jnp.asarray(free, dtype)
+    fmask = free[:, None]  # (N, 1)
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    def gn_step(carry, _):
+        q, p = carry
+        r_b, Ji, Jj = linearize_between(between, q, p)
+        if priors is not None:
+            r_p, Jp = linearize_prior(priors, q, p)
+
+        # gradient and block-diagonal of H
+        g = _scatter6(between.i, between.j, Ji, Jj, r_b, n)
+        Dblk = jax.ops.segment_sum(
+            jnp.einsum("fab,fac->fbc", Ji, Ji), between.i, num_segments=n
+        ) + jax.ops.segment_sum(
+            jnp.einsum("fab,fac->fbc", Jj, Jj), between.j, num_segments=n
+        )
+        if priors is not None:
+            g = g + jax.ops.segment_sum(
+                jnp.einsum("fab,fa->fb", Jp, r_p), priors.i, num_segments=n
+            )
+            Dblk = Dblk + jax.ops.segment_sum(
+                jnp.einsum("fab,fac->fbc", Jp, Jp), priors.i, num_segments=n
+            )
+        Dblk = Dblk + (cfg.damping + 1e-10) * eye6
+        # gauge-fixed blocks become identity so the preconditioner is SPD
+        Dblk = jnp.where(
+            (free > 0)[:, None, None], Dblk, eye6[None, :, :]
+        )
+        Pinv = jnp.linalg.inv(Dblk)  # (N, 6, 6) block-Jacobi preconditioner
+
+        def Hv(v):
+            v = v * fmask
+            y = jnp.einsum("fab,fb->fa", Ji, v[between.i]) + jnp.einsum(
+                "fab,fb->fa", Jj, v[between.j]
+            )
+            out = _scatter6(between.i, between.j, Ji, Jj, y, n)
+            if priors is not None:
+                yp = jnp.einsum("fab,fb->fa", Jp, v[priors.i])
+                out = out + jax.ops.segment_sum(
+                    jnp.einsum("fab,fa->fb", Jp, yp), priors.i, num_segments=n
+                )
+            return (out + cfg.damping * v) * fmask
+
+        def apply_P(v):
+            return jnp.einsum("nij,nj->ni", Pinv, v * fmask) * fmask
+
+        # masked-convergence PCG (same pattern as optim.schur.pcg)
+        b = -g * fmask
+        x = jnp.zeros_like(b)
+        r = b
+        z = apply_P(r)
+        pdir = z
+        rz = jnp.vdot(r, z)
+        rr = jnp.vdot(b, b)
+        thresh = (cfg.cg_tol**2) * rr
+
+        def cg_body(state, _):
+            x, r, z, pdir, rz, rr = state
+            live = rr > thresh
+            Hp = Hv(pdir)
+            denom = jnp.vdot(pdir, Hp)
+            alpha = jnp.where(live, rz / jnp.where(denom == 0, 1.0, denom), 0.0)
+            x = x + alpha * pdir
+            r = r - alpha * Hp
+            z_new = apply_P(r)
+            rz_new = jnp.vdot(r, z_new)
+            rr = jnp.vdot(r, r)
+            beta = jnp.where(live, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+            pdir = z_new + beta * pdir
+            rz = jnp.where(live, rz_new, rz)
+            return (x, r, z_new, pdir, rz, rr), None
+
+        (x, *_), _ = jax.lax.scan(
+            cg_body, (x, r, z, pdir, rz, rr), None, length=cfg.cg_max_iters
+        )
+        dx = x * fmask
+        q_new = so3.quat_boxplus(q, dx[:, 0:3])
+        p_new = p + dx[:, 3:6]
+        cost = pose_graph_cost(q_new, p_new, between, priors)
+        return (q_new, p_new), cost
+
+    (q, p), trace = jax.lax.scan(
+        gn_step, (q, p), None, length=cfg.max_iterations
+    )
+    return q, p, {"cost_trace": trace, "final_cost": trace[-1]}
+
+
 def pose_graph_cost(q, p, between: BetweenBank | None, priors: PriorBank | None):
     c = jnp.asarray(0.0, dtype=p.dtype)
     if between is not None:

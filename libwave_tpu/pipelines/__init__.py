@@ -11,3 +11,13 @@ from libwave_tpu.pipelines.vio import (  # noqa: F401
     solve_vio_staged,
     vio_from_sim,
 )
+from libwave_tpu.pipelines.lidar_odometry import (  # noqa: F401
+    LidarOdometryConfig,
+    LidarOdometryResult,
+    lidar_odometry,
+)
+from libwave_tpu.pipelines.vo_frontend import (  # noqa: F401
+    TwoFrameResult,
+    VOFrontendConfig,
+    two_frame_pose,
+)

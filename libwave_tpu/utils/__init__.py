@@ -20,3 +20,11 @@ from libwave_tpu.utils.io import (  # noqa: F401
     mat2csv,
     matrix_from_string,
 )
+from libwave_tpu.utils.angles import wrap_to_pi, wrap_to_two_pi  # noqa: F401
+from libwave_tpu.utils.file import (  # noqa: F401
+    dir_exists,
+    file_exists,
+    path_split,
+    paths_combine,
+    remove_dir,
+)

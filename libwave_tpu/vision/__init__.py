@@ -31,6 +31,12 @@ from libwave_tpu.vision.matcher import (  # noqa: F401
     hamming_distance_matrix,
     match_descriptors,
 )
+from libwave_tpu.vision.epipolar import (  # noqa: F401
+    decompose_essential,
+    essential_from_fundamental,
+    recover_pose,
+    triangulate,
+)
 from libwave_tpu.vision.tracker import (  # noqa: F401
     TrackerParams,
     TrackerState,
