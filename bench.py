@@ -50,19 +50,58 @@ def make_problem(num_poses=200, num_landmarks=10_000, obs_per_pose=300, seed=0):
         so3.exp_quat(jnp.asarray(omega)), q_BC(jnp.float32)
     )
 
-    K_obs = num_poses * obs_per_pose
-    pose_idx = np.repeat(np.arange(num_poses, dtype=np.int32), obs_per_pose)
-    lm_idx = rng.integers(0, num_landmarks, K_obs).astype(np.int32)
-
     Kmat = jnp.asarray(
         [[400.0, 0, 320], [0, 400.0, 240], [0, 0, 1]], dtype=jnp.float32
     )
     from libwave_tpu.vision.camera import pinhole_project
 
-    uv, in_front = pinhole_project(
-        Kmat, q[pose_idx], jnp.asarray(p)[pose_idx], jnp.asarray(lm)[lm_idx]
+    # Observations must be *genuinely visible* (inside the image, sane
+    # depth): sampling landmark ids blindly produces points microns in
+    # front of the camera that project to megapixel coordinates, the
+    # initial cost explodes, and LM never accepts a step — the benchmark
+    # would then be timing a solver that goes nowhere. Project everything
+    # once and sample per-pose from the in-image set.
+    uv_all, in_front = jax.vmap(
+        lambda qn, pn: pinhole_project(Kmat, qn, pn, jnp.asarray(lm))
+    )(q, jnp.asarray(p))  # (N, M, 2), (N, M)
+    uv_all = np.asarray(uv_all)
+    depth_ok = (
+        np.linalg.norm(lm[None, :, :] - np.asarray(p)[:, None, :], axis=-1)
+        > 1.0
     )
-    weight = in_front.astype(jnp.float32)
+    in_img = (
+        np.asarray(in_front)
+        & depth_ok
+        & (uv_all[..., 0] >= 0) & (uv_all[..., 0] < 640)
+        & (uv_all[..., 1] >= 0) & (uv_all[..., 1] < 480)
+    )
+
+    pose_idx_l, lm_idx_l, uv_l, w_l = [], [], [], []
+    for n in range(num_poses):
+        ids = np.nonzero(in_img[n])[0]
+        rng.shuffle(ids)
+        take = ids[:obs_per_pose]
+        pad = obs_per_pose - take.size
+        pose_idx_l.append(np.full(obs_per_pose, n, dtype=np.int32))
+        lm_idx_l.append(
+            np.concatenate([take, np.zeros(pad, dtype=np.int64)]).astype(
+                np.int32
+            )
+        )
+        uv_l.append(
+            np.concatenate(
+                [uv_all[n, take], np.zeros((pad, 2), dtype=np.float32)]
+            )
+        )
+        w_l.append(
+            np.concatenate(
+                [np.ones(take.size, np.float32), np.zeros(pad, np.float32)]
+            )
+        )
+    pose_idx = np.concatenate(pose_idx_l)
+    lm_idx = np.concatenate(lm_idx_l)
+    uv = jnp.asarray(np.concatenate(uv_l, axis=0).astype(np.float32))
+    weight = jnp.asarray(np.concatenate(w_l))
 
     from libwave_tpu.optim import schur as schur_mod
 
