@@ -44,3 +44,8 @@ from libwave_tpu.vision.tracker import (  # noqa: F401
     offline_tracker,
     tracker_init,
 )
+from libwave_tpu.vision.images import (  # noqa: F401
+    list_image_sequence,
+    load_image,
+    read_image_sequence,
+)

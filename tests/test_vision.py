@@ -272,3 +272,35 @@ class TestTracker:
         # with window 2 after 5 images, only measurements at images >= 3 remain
         imgs = np.asarray(st.landmarks.images)[np.asarray(st.landmarks.valid)]
         assert imgs.min() >= 3, f"stale images kept: {sorted(set(imgs))[:5]}"
+
+
+class TestImageSequence:
+    def test_roundtrip_and_natural_order(self, tmp_path):
+        from PIL import Image
+
+        from libwave_tpu.vision import list_image_sequence, read_image_sequence
+
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (3, 16, 24), dtype=np.uint8)
+        # write out of order with unpadded names: natural sort must fix it
+        for i, name in [(2, "frame10.png"), (0, "frame2.png"), (1, "frame3.png")]:
+            Image.fromarray(frames[i]).save(tmp_path / name)
+        (tmp_path / "notes.txt").write_text("ignored")
+
+        paths = list_image_sequence(str(tmp_path))
+        assert [p.split("/")[-1] for p in paths] == [
+            "frame2.png", "frame3.png", "frame10.png"
+        ]
+        stack = read_image_sequence(str(tmp_path))
+        assert stack.shape == (3, 16, 24) and stack.dtype == np.uint8
+        np.testing.assert_array_equal(stack, frames)
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        from PIL import Image
+
+        from libwave_tpu.vision import read_image_sequence
+
+        Image.fromarray(np.zeros((8, 8), np.uint8)).save(tmp_path / "a.png")
+        Image.fromarray(np.zeros((9, 8), np.uint8)).save(tmp_path / "b.png")
+        with pytest.raises(ValueError):
+            read_image_sequence(str(tmp_path))
