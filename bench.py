@@ -214,7 +214,10 @@ def bench_backend(problem, state, iters=10, repeats=3):
         dt, cost = run_once()
         times.append(dt)
     times.sort()
-    median = times[len(times) // 2]
+    # true median (averaging the middle pair for even counts) so small
+    # repeat counts don't bias toward the slower run
+    m = len(times) // 2
+    median = times[m] if len(times) % 2 else 0.5 * (times[m - 1] + times[m])
     return iters / median, cost
 
 

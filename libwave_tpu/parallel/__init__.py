@@ -18,3 +18,9 @@ from libwave_tpu.parallel.dist_ba import (  # noqa: F401
     shard_ba_problem,
     distributed_lm_step,
 )
+from libwave_tpu.parallel.dist_pose_graph import (  # noqa: F401
+    BlockPoseGraph,
+    partition_pose_graph,
+    solve_pose_graph_blocks,
+    unpartition,
+)

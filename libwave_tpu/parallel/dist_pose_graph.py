@@ -278,7 +278,19 @@ def solve_pose_graph_blocks(
     Returns block-shaped (q, p, info) with the same values (to float
     tolerance) as ``optim.pose_graph.solve_pose_graph`` on the unpartitioned
     problem.
+
+    The number of blocks must equal the mesh's device count: shard_map hands
+    each device exactly one block and the halo neighbors are block-adjacent
+    devices — more blocks than devices would silently drop trajectory.
     """
+    n_blocks = g.q.shape[0]
+    n_dev = int(mesh.devices.size)
+    if n_blocks != n_dev:
+        raise ValueError(
+            f"graph has {n_blocks} blocks but mesh has {n_dev} devices; "
+            "partition_pose_graph(n_blocks=...) must match the mesh size "
+            "(one block per device — halo neighbors are device-adjacent)"
+        )
     nb = g.q.shape[1]
     dtype = g.p.dtype
     eye6 = jnp.eye(6, dtype=dtype)

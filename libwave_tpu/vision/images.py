@@ -38,7 +38,7 @@ def list_image_sequence(directory: str) -> List[str]:
         if n.lower().endswith(_IMAGE_EXTS)
     ]
     names.sort(key=_natural_key)
-    return [os.path.join(directory, n) for n in names]
+    return [os.path.abspath(os.path.join(directory, n)) for n in names]
 
 
 def load_image(path: str) -> np.ndarray:
