@@ -113,21 +113,35 @@ def _huber_rho(sq_norm, delta):
     )
 
 
+def _local_pose_view(state: BAState, num_poses: int, axis_name: str | None):
+    """(q, p, nb) for the ELL bank: the full state single-device, or this
+    device's contiguous pose block when sharded (the bank is local)."""
+    q, nb = schur.local_pose_block(state.q, num_poses, axis_name)
+    p, _ = schur.local_pose_block(state.p, num_poses, axis_name)
+    return q, p, nb
+
+
 def ba_cost(problem: BAProblem, state: BAState,
-            huber_delta: float | None = None) -> jnp.ndarray:
+            huber_delta: float | None = None,
+            axis_name: str | None = None) -> jnp.ndarray:
     """Weighted (optionally Huber-robustified) reprojection cost +
     pose-graph factor cost + a fixed penalty per behind-camera
-    observation."""
+    observation. ``axis_name``: the observation bank is a per-device pose
+    block (sharded ELL mode) — the observation cost psums over the mesh
+    while the (replicated) pose-graph cost is added once."""
     if problem.ell is not None:
         N = problem.free_pose.shape[0]
+        q, p, nb = _local_pose_view(state, N, axis_name)
         r, valid = reprojection_residual_ell(
-            problem.K, state.q, state.p, state.lm,
-            problem.lm_idx.reshape(N, -1),
-            problem.uv.T.reshape(2, N, -1),
+            problem.K, q, p, state.lm,
+            problem.lm_idx.reshape(nb, -1),
+            problem.uv.T.reshape(2, nb, -1),
         )
         r = r.reshape(2, -1)
         valid = valid.reshape(-1)
     else:
+        if axis_name is not None:
+            raise ValueError("sharded BA requires the pose-ELL layout")
         r, valid = reprojection_residual_cm(
             problem.K, state.q, state.p, state.lm,
             problem.pose_idx, problem.lm_idx, problem.uv.T,
@@ -140,23 +154,27 @@ def ba_cost(problem: BAProblem, state: BAState,
     c = c + _CHEIRALITY_PENALTY * jnp.sum(
         problem.weight * (~valid).astype(r.dtype)
     )
+    if axis_name is not None:
+        c = jax.lax.psum(c, axis_name)
     return c + pose_graph.pose_graph_cost(
         state.q, state.p, problem.between, problem.priors
     )
 
 
-def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _):
+def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _,
+                  axis_name: str | None = None):
     state, lam, cost, converged = carry
     N = problem.free_pose.shape[0]
     M = state.lm.shape[0]
 
     if problem.ell is not None:
+        q_loc, p_loc, nb = _local_pose_view(state, N, axis_name)
         r, J_pose, J_lm, valid = linearize_reprojection_ell(
-            problem.K, state.q, state.p, state.lm,
-            problem.lm_idx.reshape(N, -1),
-            problem.uv.T.reshape(2, N, -1),
+            problem.K, q_loc, p_loc, state.lm,
+            problem.lm_idx.reshape(nb, -1),
+            problem.uv.T.reshape(2, nb, -1),
         )
-        w = problem.weight.reshape(N, -1) * valid.astype(r.dtype)
+        w = problem.weight.reshape(nb, -1) * valid.astype(r.dtype)
     else:
         r, J_pose, J_lm, valid = linearize_reprojection_cm(
             problem.K, state.q, state.p, state.lm,
@@ -203,7 +221,7 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _):
         r, J_pose, J_lm, w, problem.pose_idx, problem.lm_idx,
         N, M, lam, problem.free_pose,
         extra_Hpp=extra_Hpp, extra_bp=extra_bp, couplings=couplings,
-        ell=problem.ell,
+        ell=problem.ell, axis_name=axis_name,
     )
     rhs = schur.schur_rhs(blocks)
     cg = schur.pcg(blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol)
@@ -216,7 +234,7 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _):
         p=state.p + dx_pose[:, 3:6] * free,
         lm=state.lm + dx_lm,
     )
-    new_cost = ba_cost(problem, new_state, cfg.huber_delta)
+    new_cost = ba_cost(problem, new_state, cfg.huber_delta, axis_name)
     step_ok = jnp.isfinite(jnp.sum(dx_pose)) & jnp.isfinite(jnp.sum(dx_lm))
     accept = (new_cost < cost) & ~converged & jnp.isfinite(new_cost) & step_ok
     decrease = cost - new_cost
@@ -240,16 +258,21 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _):
     return (state, lam, cost, converged), (cost, accept, cg.iterations)
 
 
-def solve_ba(problem: BAProblem, state: BAState, cfg: BAConfig = BAConfig()):
+def solve_ba(problem: BAProblem, state: BAState, cfg: BAConfig = BAConfig(),
+             axis_name: str | None = None):
     """Run LM to convergence budget. Returns (state, info dict of arrays).
 
-    jit-able; wrap in jax.jit for production use.
+    jit-able; wrap in jax.jit for production use. ``axis_name``: run in
+    sharded ELL mode inside shard_map (see
+    :func:`libwave_tpu.parallel.dist_ba.solve_ba_sharded`, the public
+    entry point) — the full trust-region LM loop, with each device owning
+    one contiguous pose block of observations.
     """
     lam0 = jnp.asarray(cfg.init_lambda, dtype=state.p.dtype)
-    cost0 = ba_cost(problem, state, cfg.huber_delta)
+    cost0 = ba_cost(problem, state, cfg.huber_delta, axis_name)
     carry = (state, lam0, cost0, jnp.asarray(False))
     carry, (costs, accepts, cg_iters) = jax.lax.scan(
-        lambda c, x: _lm_iteration(problem, cfg, c, x),
+        lambda c, x: _lm_iteration(problem, cfg, c, x, axis_name),
         carry,
         None,
         length=cfg.max_iterations,

@@ -96,15 +96,21 @@ def pack_observations(pose_idx, lm_idx, num_poses, num_landmarks, *arrays,
     pad_mask = (slot >= 0).astype(onp.float64)
     safe = onp.where(slot >= 0, slot, 0)
 
-    lm_ell = onp.where(slot >= 0, lm_idx[safe], 0).astype(onp.int32)
+    if lm_idx.shape[0] == 0:  # empty bank (e.g. an observation-free shard)
+        lm_ell = onp.zeros(K_ell, dtype=onp.int32)
+    else:
+        lm_ell = onp.where(slot >= 0, lm_idx[safe], 0).astype(onp.int32)
     pose_ell = onp.repeat(onp.arange(num_poses, dtype=onp.int32), Pmax)
 
     packed = []
     for a in arrays:
         a = onp.asarray(a)
-        out = a[safe] * pad_mask.reshape(
-            (K_ell,) + (1,) * (a.ndim - 1)
-        ).astype(a.dtype)
+        if a.shape[0] == 0:
+            out = onp.zeros((K_ell,) + a.shape[1:], dtype=a.dtype)
+        else:
+            out = a[safe] * pad_mask.reshape(
+                (K_ell,) + (1,) * (a.ndim - 1)
+            ).astype(a.dtype)
         packed.append(jnp.asarray(out))
 
     ell = build_ell_layout(lm_ell, num_landmarks)
@@ -282,6 +288,14 @@ class SchurBlocks(NamedTuple):
     (odometry between-factors): H[ci, cj] += C, H[cj, ci] += C^T. They ride
     along in the matrix-free Schur matvec; ``None``-like empty banks are
     zero-length arrays.
+
+    **Sharded ELL mode** (``axis_name`` set, requires ``ell``): the blocks
+    were built inside ``shard_map`` from a per-device observation bank
+    covering a contiguous block of ``N / axis_size`` poses (W is
+    (D*3, Nb, Pmax), lm_idx is the local bank), while Hpp/bp/bl/Hll_inv and
+    all CG vectors are global-shaped and replicated. Landmark-side
+    reductions psum partials over the mesh; pose-side reductions all_gather
+    the local block — the distributed-matvec pattern of SURVEY.md §5.7.
     """
 
     Hpp: jnp.ndarray  # (N, D, D) pose diagonal blocks (damped)
@@ -298,14 +312,19 @@ class SchurBlocks(NamedTuple):
     C: jnp.ndarray  # (F, D, D) pose-pose cross blocks
     ci: jnp.ndarray  # (F,)
     cj: jnp.ndarray  # (F,)
+    axis_name: object = None  # str | None — mesh axis for sharded ELL mode
 
 
 def _seg_lm(blocks: SchurBlocks, vals):
-    """Reduce (C, K)/(C, N, Pmax) by landmark into (C, M)."""
+    """Reduce (C, K)/(C, N, Pmax) by landmark into (C, M). Sharded ELL:
+    each device reduces its local bank, partials psum over the mesh."""
     C = vals.shape[0]
     flat = vals.reshape(C, -1)
     if blocks.ell is not None:
-        return ell_seg_reduce(flat, blocks.ell)
+        out = ell_seg_reduce(flat, blocks.ell)
+        if blocks.axis_name is not None:
+            out = jax.lax.psum(out, blocks.axis_name)
+        return out
     return jax.vmap(
         lambda v: jax.ops.segment_sum(
             v[blocks.lm_perm], blocks.lm_sorted,
@@ -315,9 +334,15 @@ def _seg_lm(blocks: SchurBlocks, vals):
 
 
 def _seg_pose(blocks: SchurBlocks, vals):
-    """Reduce by pose into (C, N): dense slot sum (ELL) or segment-sum."""
+    """Reduce by pose into (C, N): dense slot sum (ELL) or segment-sum.
+    Sharded ELL: the local (C, Nb) block all_gathers into (C, N)."""
     if blocks.ell is not None:
-        return jnp.sum(vals, axis=-1)  # (C, N, Pmax) -> (C, N)
+        out = jnp.sum(vals, axis=-1)  # (C, Nb, Pmax) -> (C, Nb)
+        if blocks.axis_name is not None:
+            out = jax.lax.all_gather(
+                out, blocks.axis_name, axis=1, tiled=True
+            )
+        return out
     return jax.vmap(
         lambda v: jax.ops.segment_sum(
             v, blocks.pose_idx, num_segments=blocks.bp.shape[0],
@@ -331,6 +356,7 @@ def build_normal_equations(
     damping, free_pose,
     extra_Hpp=None, extra_bp=None, couplings=None,
     ell: EllLayout | None = None, pose_dim: int | None = None,
+    axis_name: str | None = None,
 ) -> SchurBlocks:
     """Assemble damped normal-equation blocks from a linearized observation
     bank (the TPU analog of sparse assembly).
@@ -359,7 +385,17 @@ def build_normal_equations(
     reductions go through a sort permutation computed here. Sorted
     segment-sums lower to fast vectorized reductions instead of serialized
     scatter-adds (~6x measured on v5e).
+
+    ``axis_name`` (requires ``ell``, call inside shard_map): the inputs are a
+    per-device bank covering a contiguous block of ``num_poses / axis_size``
+    poses. Pose-side sums all_gather into global (num_poses, ...) blocks,
+    landmark-side sums psum; ``extra_Hpp``/``extra_bp``/``couplings`` and
+    ``free_pose`` must be global-shaped and replicated (pose-graph factors
+    are evaluated redundantly on every device — they are tiny next to the
+    observation bank).
     """
+    if axis_name is not None and ell is None:
+        raise ValueError("axis_name requires the pose-ELL layout")
     K = pose_idx.shape[0]
     if r.ndim == 2 and r.shape[0] == K and J_pose.shape[0] == K:
         # block layout -> flat component-major
@@ -404,14 +440,24 @@ def build_normal_equations(
     bl_k = -(wJl[0] * r[0] + wJl[1] * r[1])  # (3, ...)
 
     if ell is not None:
-        # Inputs may be pose-ELL shaped (C, N, Pmax) or flat (C, K) in ELL
+        # Inputs may be pose-ELL shaped (C, Nb, Pmax) or flat (C, K) in ELL
         # order; reshaping is free (the bank is rectangular by construction).
-        seg_pose = lambda vals: jnp.sum(
-            vals.reshape(vals.shape[0], num_poses, -1), axis=-1
+        nb = (
+            num_poses if axis_name is None
+            else num_poses // jax.lax.axis_size(axis_name)
         )
-        seg_lm = lambda vals: ell_seg_reduce(
-            vals.reshape(vals.shape[0], -1), ell
-        )
+
+        def seg_pose(vals):
+            out = jnp.sum(vals.reshape(vals.shape[0], nb, -1), axis=-1)
+            if axis_name is not None:
+                out = jax.lax.all_gather(out, axis_name, axis=1, tiled=True)
+            return out
+
+        def seg_lm(vals):
+            out = ell_seg_reduce(vals.reshape(vals.shape[0], -1), ell)
+            if axis_name is not None:
+                out = jax.lax.psum(out, axis_name)
+            return out
     else:
         seg_pose = lambda vals: jax.vmap(
             lambda v: jax.ops.segment_sum(
@@ -431,7 +477,7 @@ def build_normal_equations(
     bl = seg_lm(bl_k)  # (3, M)
 
     if ell is not None:
-        W = W.reshape(Dj * 3, num_poses, -1)  # matvec broadcasting layout
+        W = W.reshape(Dj * 3, nb, -1)  # matvec broadcasting layout
 
     # fold in pose-graph factor contributions (diagonal + rhs)
     if extra_Hpp is not None:
@@ -465,7 +511,7 @@ def build_normal_equations(
         Hpp=Hpp, Hll_inv=Hll_inv, W=W, bp=bp, bl=bl,
         pose_idx=pose_idx, lm_idx=lm_idx, lm_perm=lm_perm,
         lm_sorted=lm_sorted, free_pose=free_pose, ell=ell,
-        C=C, ci=ci, cj=cj,
+        C=C, ci=ci, cj=cj, axis_name=axis_name,
     )
 
 
@@ -479,11 +525,26 @@ def _project(x, free_pose):
     return x * free_pose
 
 
+def local_pose_block(x, num_poses: int, axis_name: str | None):
+    """(x_local, nb): this device's contiguous pose block of replicated
+    (N, ...) data under sharded ELL mode; identity when axis_name is None."""
+    if axis_name is None:
+        return x, num_poses
+    nb = num_poses // jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    return jax.lax.dynamic_slice_in_dim(x, me * nb, nb, axis=0), nb
+
+
 def _broadcast_pose(blocks: SchurBlocks, x):
     """Per-observation view of per-pose data x (N, D): a free broadcast
-    (D, N, 1) on the ELL path, a gather on the flat path."""
+    (D, N, 1) on the ELL path, a gather on the flat path. Sharded ELL:
+    slice the device's contiguous pose block out of the replicated x."""
     if blocks.ell is not None:
-        return x.T[:, :, None]  # (D, N, 1) broadcasts over Pmax
+        if blocks.axis_name is not None:
+            nb = blocks.W.shape[1]
+            me = jax.lax.axis_index(blocks.axis_name)
+            x = jax.lax.dynamic_slice_in_dim(x, me * nb, nb, axis=0)
+        return x.T[:, :, None]  # (D, Nb, 1) broadcasts over Pmax
     return jnp.take(x.T, blocks.pose_idx, axis=-1)  # (D, K)
 
 

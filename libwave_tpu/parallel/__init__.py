@@ -17,6 +17,12 @@ from libwave_tpu.parallel.mesh import make_mesh, MeshConfig  # noqa: F401
 from libwave_tpu.parallel.dist_ba import (  # noqa: F401
     shard_ba_problem,
     distributed_lm_step,
+    partition_ba_problem,
+    solve_ba_sharded,
+)
+from libwave_tpu.parallel.dist_vio import (  # noqa: F401
+    partition_vio_problem,
+    solve_vio_sharded,
 )
 from libwave_tpu.parallel.dist_pose_graph import (  # noqa: F401
     BlockPoseGraph,

@@ -155,21 +155,31 @@ def _camera_quats(problem, q_body):
     return so3.quat_multiply(q_body, problem.q_BC)
 
 
-def vio_cost(problem: VIOProblem, state: VIOState) -> jnp.ndarray:
+def vio_cost(problem: VIOProblem, state: VIOState,
+             axis_name: str | None = None) -> jnp.ndarray:
+    """``axis_name``: sharded ELL mode — the reprojection bank is this
+    device's keyframe block; its cost psums over the mesh while the
+    (replicated) IMU/bias factor costs are added once."""
     N = problem.free_pose.shape[0]
+    q_cam, nb = schur.local_pose_block(
+        _camera_quats(problem, state.q), N, axis_name
+    )
+    p_loc, _ = schur.local_pose_block(state.p, N, axis_name)
     r, valid = reprojection_residual_ell(
         problem.K,
-        _camera_quats(problem, state.q),  # (N, 4) camera orientations
-        state.p,
+        q_cam,  # (Nb, 4) camera orientations
+        p_loc,
         state.lm,
-        problem.lm_idx.reshape(N, -1),
-        problem.uv.T.reshape(2, N, -1),
+        problem.lm_idx.reshape(nb, -1),
+        problem.uv.T.reshape(2, nb, -1),
     )
-    wf = problem.obs_weight.reshape(N, -1)
+    wf = problem.obs_weight.reshape(nb, -1)
     w = wf * valid.astype(r.dtype) / problem.pixel_sigma**2
     c = 0.5 * jnp.sum(w * (r[0] * r[0] + r[1] * r[1]))
     # behind-camera observations carry a fixed penalty (see ba_cost)
     c = c + 1e6 * jnp.sum(wf * (~valid).astype(r.dtype))
+    if axis_name is not None:
+        c = jax.lax.psum(c, axis_name)
     r_imu, _, _ = _imu_linearize(problem, state)
     c = c + 0.5 * jnp.sum(r_imu * r_imu)
     r_bw, _, _ = _bias_walk_linearize(problem, state)
@@ -181,7 +191,8 @@ def vio_cost(problem: VIOProblem, state: VIOState) -> jnp.ndarray:
     return c
 
 
-def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _):
+def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
+                   axis_name: str | None = None):
     state, lam, cost = carry
     N = problem.free_pose.shape[0]
     M = state.lm.shape[0]
@@ -194,13 +205,17 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _):
     # zero lever arm (the reference camera sits at the body origin,
     # VoDataset.cpp:237-246). A right perturbation phi on the body maps to
     # R_BC^T phi on the camera, so J_omega_body = J_omega_cam @ R_BC^T.
+    q_cam, nb = schur.local_pose_block(
+        _camera_quats(problem, state.q), N, axis_name
+    )
+    p_loc, _ = schur.local_pose_block(state.p, N, axis_name)
     r, J6, J_lm, valid = linearize_reprojection_ell(
         problem.K,
-        _camera_quats(problem, state.q),
-        state.p,
+        q_cam,
+        p_loc,
         state.lm,
-        problem.lm_idx.reshape(N, -1),
-        problem.uv.T.reshape(2, N, -1),
+        problem.lm_idx.reshape(nb, -1),
+        problem.uv.T.reshape(2, nb, -1),
     )
     if problem.q_BC is not None:
         # J_omega_body[a, i] = sum_b J_omega_cam[a, b] R_BC[i, b]
@@ -218,7 +233,7 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _):
         )
         J6 = jnp.concatenate([Jw, J6[:, 3:6]], axis=1)
     w = (
-        problem.obs_weight.reshape(N, -1)
+        problem.obs_weight.reshape(nb, -1)
         * valid.astype(dtype)
         / problem.pixel_sigma**2
     )
@@ -259,14 +274,14 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _):
         r, J6, J_lm, w, problem.pose_idx, problem.lm_idx,
         N, M, lam, problem.free_pose,
         extra_Hpp=extra_Hpp, extra_bp=extra_bp, couplings=couplings,
-        ell=problem.ell, pose_dim=D,
+        ell=problem.ell, pose_dim=D, axis_name=axis_name,
     )
     rhs = schur.schur_rhs(blocks)
     cg = schur.pcg(blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol)
     dlm = schur.back_substitute(blocks, cg.x)
 
     new_state = state.retract(cg.x, dlm, problem.free_pose)
-    new_cost = vio_cost(problem, new_state)
+    new_cost = vio_cost(problem, new_state, axis_name)
     step_ok = jnp.isfinite(jnp.sum(cg.x)) & jnp.isfinite(jnp.sum(dlm))
     accept = (new_cost < cost) & jnp.isfinite(new_cost) & step_ok
     state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new_state, state)
@@ -278,12 +293,16 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _):
     return (state, lam, cost), (cost, accept, cg.iterations)
 
 
-def solve_vio(problem: VIOProblem, state: VIOState, cfg: VIOConfig = VIOConfig()):
-    """Run the full VIO LM optimization (jit-able)."""
-    cost0 = vio_cost(problem, state)
+def solve_vio(problem: VIOProblem, state: VIOState,
+              cfg: VIOConfig = VIOConfig(),
+              axis_name: str | None = None):
+    """Run the full VIO LM optimization (jit-able). ``axis_name``: sharded
+    ELL mode inside shard_map — see
+    :func:`libwave_tpu.parallel.dist_vio.solve_vio_sharded`."""
+    cost0 = vio_cost(problem, state, axis_name)
     carry = (state, jnp.asarray(cfg.init_lambda, state.p.dtype), cost0)
     carry, (costs, accepts, cg_iters) = jax.lax.scan(
-        lambda c, x: _vio_iteration(problem, cfg, c, x),
+        lambda c, x: _vio_iteration(problem, cfg, c, x, axis_name),
         carry, None, length=cfg.max_iterations,
     )
     state, lam, cost = carry

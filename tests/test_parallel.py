@@ -9,13 +9,21 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from libwave_tpu.optim import BAConfig, BAState, ba_cost, ba_from_dataset
+from libwave_tpu.optim import (
+    BAConfig,
+    BAState,
+    ba_cost,
+    ba_from_dataset,
+    solve_ba,
+)
 from libwave_tpu.optim.ba import _lm_iteration
 from libwave_tpu.parallel import (
     MeshConfig,
     distributed_lm_step,
     make_mesh,
+    partition_ba_problem,
     shard_ba_problem,
+    solve_ba_sharded,
 )
 from libwave_tpu.sim import VoSimParams, generate_vo_dataset
 from libwave_tpu.geometry import so3
@@ -82,3 +90,145 @@ class TestDistributedBA:
         sp, ss = shard_ba_problem(problem, init, mesh)
         state, cost = distributed_lm_step(sp, ss, BAConfig())
         assert float(cost) < float(ba_cost(problem, init))
+
+
+class TestShardedSolve:
+    """Full distributed LM solve (sharded ELL layout): identical results to
+    the single-device solve_ba — VERDICT r1 item 2."""
+
+    def test_full_solve_matches_local(self, problem_state):
+        problem, gt, init = problem_state
+        cfg = BAConfig(max_iterations=8, cg_max_iters=50)
+
+        local_state, local_info = jax.jit(
+            lambda pr, st: solve_ba(pr, st, cfg)
+        )(problem, init)
+
+        mesh = make_mesh(MeshConfig(dp=8, tp=1))
+        stacked, padded = partition_ba_problem(problem, init, 8)
+        dist_state, dist_info = solve_ba_sharded(stacked, padded, mesh, cfg)
+
+        # float tolerance, not bit-exact: the per-block repack changes the
+        # reduction tree order (relative error shows on near-zero converged
+        # costs, hence the atol floor)
+        N = init.q.shape[0]
+        np.testing.assert_allclose(
+            float(dist_info["final_cost"]), float(local_info["final_cost"]),
+            rtol=1e-5, atol=1e-14,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist_info["costs"]), np.asarray(local_info["costs"]),
+            rtol=1e-5, atol=1e-14,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist_state.p)[:N], np.asarray(local_state.p),
+            atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist_state.lm), np.asarray(local_state.lm), atol=1e-8
+        )
+
+    def test_full_solve_with_factors_and_huber(self, problem_state):
+        """Sharded solve with odometry between-factors, priors (soft gauge)
+        and Huber loss — the full production configuration."""
+        ds = generate_vo_dataset(
+            VoSimParams(nb_landmarks=48, steps=100, fx=200.0, fy=200.0,
+                        hz=10.0),
+            jax.random.key(11),
+        )
+        problem, gt = ba_from_dataset(
+            ds, with_odometry=True, with_priors=True
+        )
+        key = jax.random.key(13)
+        k1, k2, k3 = jax.random.split(key, 3)
+        N, M = gt.q.shape[0], gt.lm.shape[0]
+        init = BAState(
+            q=so3.quat_boxplus(
+                gt.q, 0.02 * jax.random.normal(k1, (N, 3), gt.p.dtype)
+            ),
+            p=gt.p + 0.05 * jax.random.normal(k2, (N, 3), gt.p.dtype),
+            lm=gt.lm + 0.3 * jax.random.normal(k3, (M, 3), gt.p.dtype),
+        )
+        cfg = BAConfig(max_iterations=6, cg_max_iters=50, huber_delta=2.0)
+        local_state, local_info = jax.jit(
+            lambda pr, st: solve_ba(pr, st, cfg)
+        )(problem, init)
+        mesh = make_mesh(MeshConfig(dp=8, tp=1))
+        stacked, padded = partition_ba_problem(problem, init, 8)
+        dist_state, dist_info = solve_ba_sharded(stacked, padded, mesh, cfg)
+        np.testing.assert_allclose(
+            float(dist_info["final_cost"]), float(local_info["final_cost"]),
+            rtol=1e-5, atol=1e-14,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist_state.p)[:N], np.asarray(local_state.p),
+            atol=1e-8,
+        )
+
+    def test_block_count_mismatch_raises(self, problem_state):
+        problem, gt, init = problem_state
+        mesh = make_mesh(MeshConfig(dp=8, tp=1))
+        stacked, padded = partition_ba_problem(problem, init, 4)
+        with pytest.raises(ValueError, match="blocks"):
+            solve_ba_sharded(stacked, padded, mesh)
+
+
+class TestShardedVIO:
+    """Distributed VIO solve == single-device solve_vio."""
+
+    def test_full_vio_matches_local(self):
+        from libwave_tpu.pipelines import (
+            VIOConfig, VIOState, solve_vio, vio_from_sim,
+        )
+        from libwave_tpu.parallel import (
+            partition_vio_problem, solve_vio_sharded,
+        )
+
+        ds = generate_vo_dataset(
+            VoSimParams(nb_landmarks=40, steps=120, fx=200.0, fy=200.0,
+                        hz=10.0),
+            jax.random.key(21),
+        )
+        problem, gt = vio_from_sim(
+            ds, pixel_noise=0.5, imu_gyro_sigma=1e-4, imu_accel_sigma=1e-3,
+            key=jax.random.key(22),
+        )
+        N, M = gt.q.shape[0], gt.lm.shape[0]
+        ks = jax.random.split(jax.random.key(23), 4)
+        free = problem.free_pose[:, 0:3]
+        init = VIOState(
+            q=so3.quat_boxplus(
+                gt.q, 0.02 * jax.random.normal(ks[0], (N, 3), gt.p.dtype)
+                * free
+            ),
+            p=gt.p + 0.05 * jax.random.normal(ks[1], (N, 3), gt.p.dtype)
+            * free,
+            v=gt.v + 0.1 * jax.random.normal(ks[2], (N, 3), gt.p.dtype),
+            bg=jnp.zeros((N, 3), gt.p.dtype),
+            ba=jnp.zeros((N, 3), gt.p.dtype),
+            lm=gt.lm + 0.3 * jax.random.normal(ks[3], (M, 3), gt.p.dtype),
+        )
+        cfg = VIOConfig(max_iterations=6, cg_max_iters=60)
+        local_state, local_info = jax.jit(
+            lambda pr, st: solve_vio(pr, st, cfg)
+        )(problem, init)
+
+        mesh = make_mesh(MeshConfig(dp=8, tp=1))
+        stacked, padded = partition_vio_problem(problem, init, 8)
+        dist_state, dist_info = solve_vio_sharded(stacked, padded, mesh, cfg)
+
+        np.testing.assert_allclose(
+            float(dist_info["final_cost"]), float(local_info["final_cost"]),
+            rtol=1e-5, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist_state.p)[:N], np.asarray(local_state.p),
+            atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist_state.v)[:N], np.asarray(local_state.v),
+            atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist_state.lm), np.asarray(local_state.lm), atol=1e-7
+        )
