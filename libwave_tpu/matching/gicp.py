@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from libwave_tpu.geometry import so3
 from libwave_tpu.geometry.se3 import SE3
 from libwave_tpu.matching.knn import knn, nearest_neighbor
+from libwave_tpu.matching.loop import converged_scan
 from libwave_tpu.matching.pointcloud import PointCloud, voxel_downsample
 from libwave_tpu.utils.config import ConfigError
 
@@ -85,12 +86,7 @@ def gicp_match(ref: PointCloud, target: PointCloud,
     max_corr2 = params.max_corr * params.max_corr
     T0 = SE3.identity(dtype=dtype) if init is None else init
 
-    def cond(state):
-        T, it, delta = state
-        return (it < params.max_iter) & (delta > params.t_eps)
-
-    def body(state):
-        T, it, _ = state
+    def body(T):
         R = T.rotation()
         moved = ref.points @ R.T + T.t
         idx, d2 = nearest_neighbor(moved, ref.mask, target.points, target.mask)
@@ -114,10 +110,8 @@ def gicp_match(ref: PointCloud, target: PointCloud,
         dT = SE3(q=so3.exp_quat(dx[0:3]), t=dx[3:6])
         T_new = dT.compose(T).normalize()
         delta = jnp.sum(dx * dx)
-        return (T_new, it + 1, delta)
+        return T_new, delta
 
-    T, iters, _ = jax.lax.while_loop(
-        cond, body, (T0, jnp.asarray(0), jnp.asarray(jnp.inf, dtype))
-    )
+    T, iters = converged_scan(body, T0, params.max_iter, params.t_eps, dtype)
     return GICPResult(transform=T, converged=iters < params.max_iter,
                       iterations=iters)

@@ -15,8 +15,10 @@ TPU-first redesign:
 - correspondence via chunked matmul NN (knn.py) instead of kd-trees;
 - each iteration is a masked Umeyama (weighted SVD) alignment step — the
   same update PCL's transformation-estimation SVD performs, batched;
-- the iteration loop is ``lax.while_loop`` with the reference's t_eps
-  stopping rule, so the whole multiscale match jits as one program;
+- the iteration loop is a fixed-trip ``lax.scan`` with the reference's
+  t_eps stopping rule applied by convergence gating (matching/loop.py), so
+  the whole multiscale match jits as one program with zero per-iteration
+  host syncs;
 - the Censi estimate replaces ~200 lines of hand-expanded euler-angle
   Hessians with ``jax.hessian``/``jax.jacfwd``-derived d2J/dX2 and d2J/dZdX
   of the same cost (exact, and batched over correspondences).
@@ -34,6 +36,7 @@ from libwave_tpu.geometry import euler as euler_mod
 from libwave_tpu.geometry import so3
 from libwave_tpu.geometry.se3 import SE3
 from libwave_tpu.matching.knn import nearest_neighbor
+from libwave_tpu.matching.loop import converged_scan
 from libwave_tpu.matching.pointcloud import PointCloud, voxel_downsample
 from libwave_tpu.utils.config import ConfigError
 
@@ -88,7 +91,10 @@ def _umeyama_step(p, q, w):
 
 def _icp_single_scale(ref: PointCloud, target: PointCloud, T0: SE3,
                       max_corr: float, max_iter: int, t_eps: float):
-    """Fixed-scale ICP loop under lax.while_loop. Returns (T, iters, corr)."""
+    """Fixed-scale ICP loop: static-trip scan with convergence gating
+    (matching/loop.py — no per-iteration host sync). Returns
+    (T, iters, corr)."""
+    dtype = ref.points.dtype
     max_corr2 = max_corr * max_corr
 
     def corr_at(T):
@@ -97,22 +103,15 @@ def _icp_single_scale(ref: PointCloud, target: PointCloud, T0: SE3,
         valid = ref.mask & (d2 <= max_corr2)
         return idx, valid, moved
 
-    def cond(state):
-        T, it, delta = state
-        return (it < max_iter) & (delta > t_eps)
-
-    def body(state):
-        T, it, _ = state
+    def body(T):
         idx, valid, moved = corr_at(T)
-        w = valid.astype(ref.points.dtype)
+        w = valid.astype(dtype)
         dT = _umeyama_step(moved, target.points[idx], w)
         T_new = dT.compose(T).normalize()
         delta = jnp.sum((dT.matrix() - jnp.eye(4, dtype=dT.t.dtype)) ** 2)
-        return (T_new, it + 1, delta)
+        return T_new, delta
 
-    T, iters, _ = jax.lax.while_loop(
-        cond, body, (T0, jnp.asarray(0), jnp.asarray(jnp.inf, ref.points.dtype))
-    )
+    T, iters = converged_scan(body, T0, max_iter, t_eps, dtype)
     idx, valid, _ = corr_at(T)
     return T, iters, idx, valid
 

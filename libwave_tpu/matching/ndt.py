@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from libwave_tpu.geometry import so3
 from libwave_tpu.geometry.se3 import SE3
+from libwave_tpu.matching.loop import converged_scan
 from libwave_tpu.matching.pointcloud import PointCloud, _voxel_hash
 from libwave_tpu.utils.config import ConfigError
 
@@ -149,12 +150,7 @@ def ndt_match(ref: PointCloud, target: PointCloud,
         _, _, _, w_eff, _ = score_terms(T)
         return -jnp.sum(w_eff)  # w_eff = hit * exp(-m2/2)
 
-    def cond(state):
-        T, it, delta = state
-        return (it < params.max_iter) & (delta > params.t_eps)
-
-    def body(state):
-        T, it, _ = state
+    def body(T):
         moved, r, Wm, w, _ = score_terms(T)
         J = jnp.concatenate(
             [
@@ -191,12 +187,10 @@ def ndt_match(ref: PointCloud, target: PointCloud,
             T1, T2, T3,
         )
         T_new = jax.tree.map(lambda n, o: jnp.where(improved, n, o), Tn, T)
-        step = jnp.where(improved, jnp.sum(dx * dx), 0.0)
-        return (T_new, it + 1, step)
+        step = jnp.where(improved, jnp.sum(dx * dx), jnp.asarray(0.0, dtype))
+        return T_new, step
 
-    T, iters, _ = jax.lax.while_loop(
-        cond, body, (T0, jnp.asarray(0), jnp.asarray(jnp.inf, dtype))
-    )
+    T, iters = converged_scan(body, T0, params.max_iter, params.t_eps, dtype)
     return NDTResult(
         transform=T,
         converged=iters < params.max_iter,
