@@ -14,8 +14,10 @@ from libwave_tpu.vision.camera import (  # noqa: F401
 from libwave_tpu.vision.detector import (  # noqa: F401
     FASTParams,
     ORBDetectorParams,
+    build_pyramid,
     detect_fast,
     detect_orb,
+    detect_orb_pyramid,
     fast_score,
     harris_score,
 )
@@ -24,6 +26,7 @@ from libwave_tpu.vision.descriptor import (  # noqa: F401
     ORBDescriptorParams,
     brisk_describe,
     orb_describe,
+    orb_describe_pyramid,
 )
 from libwave_tpu.vision.matcher import (  # noqa: F401
     MatcherParams,

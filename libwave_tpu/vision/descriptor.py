@@ -223,3 +223,60 @@ def orb_describe(
     bits = jax.vmap(one)(xy, angle)
     desc = _pack_bits(bits)
     return jnp.where(mask[:, None], desc, 0), mask
+
+
+def orb_describe_pyramid(
+    image: jnp.ndarray,
+    xy: jnp.ndarray,
+    angle: jnp.ndarray,
+    level: jnp.ndarray,
+    mask: jnp.ndarray,
+    scale_factor: float,
+    num_levels: int,
+    params: ORBDescriptorParams = ORBDescriptorParams(),
+):
+    """Scale-aware rBRIEF: each keypoint's pattern samples its *own* pyramid
+    level's (smoothed) pixels — the cv::ORB behavior
+    (orb_detector.hpp:29-44: descriptors computed per level so a feature
+    re-detected at a different scale produces a comparable descriptor).
+
+    ``xy`` are level-0 coordinates and ``level`` the per-keypoint pyramid
+    level, as returned by
+    :func:`libwave_tpu.vision.detector.detect_orb_pyramid`. Level images are
+    padded into one (L, H, W) stack so the per-keypoint level pick is a
+    single dynamic index; the detector's edge_threshold border guarantees
+    patches never touch the padding.
+
+    Returns (desc (N, W) uint32, mask).
+    """
+    from libwave_tpu.vision.detector import build_pyramid
+
+    a_np, b_np = _brief_pattern(params)
+    a = jnp.asarray(a_np)
+    b = jnp.asarray(b_np)
+
+    levels = build_pyramid(image, scale_factor, num_levels)
+    H, W = levels[0].shape
+    stack = jnp.zeros((num_levels, H, W), jnp.float32)
+    for lvl, img_l in enumerate(levels):
+        stack = stack.at[
+            lvl, : img_l.shape[0], : img_l.shape[1]
+        ].set(_smoothed(img_l, sigma=2.0))
+    inv_scales = jnp.asarray(
+        [scale_factor**-lvl for lvl in range(num_levels)], jnp.float32
+    )
+
+    def one(pt_xy, th, lvl):
+        img = stack[lvl]
+        pt = pt_xy * inv_scales[lvl]  # level-0 -> level coords
+        c, s = jnp.cos(th), jnp.sin(th)
+        rot = jnp.asarray([[c, -s], [s, c]])
+        pa = a @ rot.T
+        pb = b @ rot.T
+        va = _bilinear_sample(img, pt[1] + pa[:, 1], pt[0] + pa[:, 0])
+        vb = _bilinear_sample(img, pt[1] + pb[:, 1], pt[0] + pb[:, 0])
+        return va < vb
+
+    bits = jax.vmap(one)(xy, angle, level)
+    desc = _pack_bits(bits)
+    return jnp.where(mask[:, None], desc, 0), mask

@@ -193,8 +193,12 @@ def detect_fast(image: jnp.ndarray, params: FASTParams = FASTParams()):
 
 @dataclasses.dataclass(frozen=True)
 class ORBDetectorParams:
-    """orb_detector.hpp:29 parameter parity (pyramid levels via vmap'd
-    rescale; HARRIS_SCORE ranking)."""
+    """orb_detector.hpp:29 parameter parity (HARRIS_SCORE ranking;
+    num_levels/scale_factor drive the image pyramid of
+    :func:`detect_orb_pyramid`). ``cross_level_nms`` additionally suppresses
+    keypoints that re-detect a strictly stronger response from another level
+    at the same level-0 location (off by default for cv::ORB parity, which
+    keeps multi-scale duplicates)."""
 
     num_features: int = 2000
     scale_factor: float = 1.2
@@ -202,6 +206,7 @@ class ORBDetectorParams:
     edge_threshold: int = 31
     fast_threshold: float = 10.0
     use_harris_score: bool = True
+    cross_level_nms: bool = False
 
     def validate(self):
         if self.num_features < 0:
@@ -212,6 +217,49 @@ class ORBDetectorParams:
             raise ConfigError("num_levels out of range")
         if self.fast_threshold <= 0:
             raise ConfigError("fast_threshold must be > 0")
+
+
+def pyramid_shapes(H: int, W: int, scale_factor: float, num_levels: int):
+    """Static per-level image shapes (floored at 8 px)."""
+    out = []
+    for level in range(num_levels):
+        s = scale_factor**level
+        out.append((max(int(round(H / s)), 8), max(int(round(W / s)), 8)))
+    return out
+
+
+def build_pyramid(image: jnp.ndarray, scale_factor: float, num_levels: int):
+    """Per-level bilinear rescales of ``image`` (cv::ORB's image pyramid,
+    orb_detector.hpp:36-44). Level shapes are static; each level resamples
+    the full-resolution image (equivalent to, and slightly sharper than,
+    OpenCV's successive downscaling)."""
+    img = image.astype(jnp.float32)
+    H, W = img.shape
+    shapes = pyramid_shapes(H, W, scale_factor, num_levels)
+    return [
+        img if lvl == 0 else jax.image.resize(img, shp, method="bilinear")
+        for lvl, shp in enumerate(shapes)
+    ]
+
+
+def _level_budgets(num_features: int, scale_factor: float, num_levels: int):
+    """cv::ORB's per-level feature budget: geometric decay by 1/scale_factor
+    per level, remainder to the coarsest level (ORB_Impl::detectAndCompute
+    feature distribution)."""
+    factor = 1.0 / scale_factor
+    if num_levels == 1:
+        return [num_features]
+    if factor == 1.0:
+        return [max(num_features // num_levels, 1)] * num_levels
+    ndesired = num_features * (1 - factor) / (1 - factor**num_levels)
+    budgets = []
+    acc = 0
+    for level in range(num_levels - 1):
+        b = max(int(round(ndesired * factor**level)), 1)
+        budgets.append(b)
+        acc += b
+    budgets.append(max(num_features - acc, 1))
+    return budgets
 
 
 def _box3(x):
@@ -253,17 +301,14 @@ def orb_orientation(image: jnp.ndarray, xy: jnp.ndarray, radius: int = 15):
     return jax.vmap(one)(xy)
 
 
-def detect_orb(image: jnp.ndarray, params: ORBDetectorParams = ORBDetectorParams()):
-    """Single-level ORB-style detection: FAST segment test gated, Harris
-    ranked, oriented. (Pyramid levels: run per level on pre-scaled images and
-    merge — see tracker utilities.)
-
-    Returns (xy (N,2), response (N,), angle (N,), mask (N,)).
-    """
+def _detect_orb_level(image: jnp.ndarray, params: ORBDetectorParams,
+                      budget: int):
+    """One pyramid level: FAST segment test gated, Harris ranked, NMS,
+    edge-threshold border, top-``budget``, oriented."""
     fast_p = FASTParams(
         threshold=params.fast_threshold,
         nonmax_suppression=True,
-        num_features=params.num_features,
+        num_features=budget,
     )
     score, corners = fast_score(image, fast_p)
     if params.use_harris_score:
@@ -278,6 +323,88 @@ def detect_orb(image: jnp.ndarray, params: ORBDetectorParams = ORBDetectorParams
     xx = jnp.arange(W)[None, :]
     inside = (yy >= b) & (yy < H - b) & (xx >= b) & (xx < W - b)
     score = jnp.where(inside, score, 0.0)
-    xy, resp, mask = select_top_k(score, params.num_features)
+    xy, resp, mask = select_top_k(score, budget)
     angle = orb_orientation(image, xy)
     return xy, resp, jnp.where(mask, angle, 0.0), mask
+
+
+def detect_orb_pyramid(image: jnp.ndarray,
+                       params: ORBDetectorParams = ORBDetectorParams()):
+    """Full multi-level ORB detection (orb_detector.hpp:29-112 parity:
+    num_features across num_levels scales of scale_factor).
+
+    Per level: detect on the pre-scaled image with a geometrically decaying
+    feature budget, orient on that level's pixels, then map coordinates back
+    to level 0 and merge by response into the fixed num_features capacity.
+    With ``cross_level_nms`` a keypoint is dropped when a strictly stronger
+    response from another level sits within its scaled NMS radius.
+
+    Returns (xy (N, 2) level-0 coords, response (N,), angle (N,),
+    level (N,) int32, mask (N,)); N = params.num_features. Feed ``level``
+    to :func:`libwave_tpu.vision.descriptor.orb_describe_pyramid` so
+    descriptor patches sample the matching scale.
+    """
+    levels = build_pyramid(image, params.scale_factor, params.num_levels)
+    budgets = _level_budgets(
+        params.num_features, params.scale_factor, params.num_levels
+    )
+    xs, rs, asz, ls, ms = [], [], [], [], []
+    for lvl, (img_l, budget) in enumerate(zip(levels, budgets)):
+        xy, resp, ang, mask = _detect_orb_level(img_l, params, budget)
+        scale = params.scale_factor**lvl
+        xs.append(jnp.where(mask[:, None], xy * scale, -1.0))
+        rs.append(resp)
+        asz.append(ang)
+        ls.append(jnp.full(resp.shape, lvl, jnp.int32))
+        ms.append(mask)
+    xy = jnp.concatenate(xs)
+    resp = jnp.concatenate(rs)
+    angle = jnp.concatenate(asz)
+    level = jnp.concatenate(ls)
+    mask = jnp.concatenate(ms)
+
+    if params.cross_level_nms and params.num_levels > 1:
+        # suppress k where a strictly stronger response from another level
+        # lies within 2 px * its scale at level 0
+        d2 = jnp.sum(
+            (xy[:, None, :] - xy[None, :, :]) ** 2, axis=-1
+        )  # (T, T)
+        radius = 2.0 * params.scale_factor ** jnp.maximum(
+            level[:, None], level[None, :]
+        ).astype(xy.dtype)
+        other_level = level[:, None] != level[None, :]
+        stronger = (resp[None, :] > resp[:, None]) & mask[None, :]
+        dominated = jnp.any(
+            (d2 <= radius * radius) & other_level & stronger, axis=1
+        )
+        mask = mask & ~dominated
+
+    # merge: global top num_features by response
+    neg = jnp.asarray(-jnp.inf, resp.dtype)
+    keyed = jnp.where(mask, resp, neg)
+    _, idx = jax.lax.top_k(keyed, params.num_features)
+    mask = mask[idx]
+    return (
+        jnp.where(mask[:, None], xy[idx], -1.0),
+        jnp.where(mask, resp[idx], 0.0),
+        jnp.where(mask, angle[idx], 0.0),
+        jnp.where(mask, level[idx], 0),
+        mask,
+    )
+
+
+def detect_orb(image: jnp.ndarray, params: ORBDetectorParams = ORBDetectorParams()):
+    """ORB detection honoring ``num_levels``: the full image pyramid when
+    num_levels > 1 (see :func:`detect_orb_pyramid`), single-level otherwise.
+
+    Returns (xy (N,2) level-0 coords, response (N,), angle (N,), mask (N,)).
+    For per-level descriptor patches use :func:`detect_orb_pyramid` directly
+    (it additionally returns each keypoint's pyramid level).
+    """
+    if params.num_levels > 1:
+        xy, resp, angle, _, mask = detect_orb_pyramid(image, params)
+        return xy, resp, angle, mask
+    xy, resp, angle, mask = _detect_orb_level(
+        image, params, params.num_features
+    )
+    return xy, resp, angle, mask

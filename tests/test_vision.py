@@ -8,6 +8,8 @@ image fixtures; here images are synthesized (random blob textures with known
 warps) so expected geometry is exact.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -304,3 +306,103 @@ class TestImageSequence:
         Image.fromarray(np.zeros((9, 8), np.uint8)).save(tmp_path / "b.png")
         with pytest.raises(ValueError):
             read_image_sequence(str(tmp_path))
+
+
+class TestORBPyramid:
+    """Multi-level ORB (orb_detector.hpp:29-112 parity): scale-change
+    matching that single-level detection fails — VERDICT r1 item 5."""
+
+    def _scale_pair(self, factor=1.5):
+        rng = np.random.default_rng(7)
+        img1 = blob_image(rng, H=140, W=180, n_blobs=50)
+        H, W = img1.shape
+        img2 = jax.image.resize(
+            img1, (int(H * factor), int(W * factor)), method="bilinear"
+        )
+        return img1, img2
+
+    def _consistent_matches(self, img1, img2, det_params, factor):
+        from libwave_tpu.vision import (
+            detect_orb_pyramid,
+            orb_describe_pyramid,
+        )
+
+        out1 = detect_orb_pyramid(img1, det_params)
+        out2 = detect_orb_pyramid(img2, det_params)
+        xy1, _, a1, l1, m1 = out1
+        xy2, _, a2, l2, m2 = out2
+        d1, _ = orb_describe_pyramid(
+            img1, xy1, a1, l1, m1,
+            det_params.scale_factor, det_params.num_levels,
+        )
+        d2, _ = orb_describe_pyramid(
+            img2, xy2, a2, l2, m2,
+            det_params.scale_factor, det_params.num_levels,
+        )
+        idx2, valid, _ = match_descriptors(
+            d1, d2, xy1, xy2, m1, m2, jax.random.key(0),
+            MatcherParams(auto_remove_outliers=False),
+        )
+        v = np.asarray(valid)
+        p1 = np.asarray(xy1)[v]
+        p2 = np.asarray(xy2)[np.asarray(idx2)[v]]
+        err = np.linalg.norm(p2 - factor * p1, axis=-1)
+        return int((err < 3.0).sum())
+
+    def test_budgets_sum_to_capacity(self):
+        from libwave_tpu.vision.detector import _level_budgets
+
+        budgets = _level_budgets(2000, 1.2, 8)
+        assert len(budgets) == 8
+        assert sum(budgets) == 2000
+        assert budgets[0] > budgets[-1] > 0
+
+    def test_scale_matching_needs_pyramid(self):
+        """Keypoints across a 1.5x scaled pair: the pyramid matches them,
+        single-level does not."""
+        factor = 1.5
+        img1, img2 = self._scale_pair(factor)
+        pyr = ORBDetectorParams(
+            num_features=200, scale_factor=1.5, num_levels=4,
+            fast_threshold=5.0,
+        )
+        single = dataclasses.replace(pyr, num_levels=1)
+        n_pyr = self._consistent_matches(img1, img2, pyr, factor)
+        n_single = self._consistent_matches(img1, img2, single, factor)
+        assert n_pyr >= 10, f"pyramid found only {n_pyr} scale matches"
+        assert n_pyr >= 2 * max(n_single, 1), (n_pyr, n_single)
+
+    def test_detect_orb_honors_num_levels(self):
+        """detect_orb with num_levels>1 runs the pyramid: coarse-level
+        keypoints appear (level > 0 in the 5-output variant)."""
+        from libwave_tpu.vision import detect_orb_pyramid
+
+        img1, _ = self._scale_pair()
+        params = ORBDetectorParams(
+            num_features=128, scale_factor=1.5, num_levels=3,
+            fast_threshold=5.0,
+        )
+        xy, resp, ang, lvl, mask = detect_orb_pyramid(img1, params)
+        lv = np.asarray(lvl)[np.asarray(mask)]
+        assert (lv > 0).any(), "no keypoints from coarse levels"
+        # 4-output compatibility wrapper dispatches to the pyramid
+        from libwave_tpu.vision import detect_orb
+
+        xy4, r4, a4, m4 = detect_orb(img1, params)
+        assert xy4.shape == (128, 2)
+        np.testing.assert_array_equal(np.asarray(m4), np.asarray(mask))
+
+    def test_cross_level_nms_drops_duplicates(self):
+        img1, _ = self._scale_pair()
+        base = ORBDetectorParams(
+            num_features=128, scale_factor=1.5, num_levels=3,
+            fast_threshold=5.0,
+        )
+        on = dataclasses.replace(base, cross_level_nms=True)
+        _, _, _, _, m_off = __import__(
+            "libwave_tpu.vision", fromlist=["detect_orb_pyramid"]
+        ).detect_orb_pyramid(img1, base)
+        _, _, _, _, m_on = __import__(
+            "libwave_tpu.vision", fromlist=["detect_orb_pyramid"]
+        ).detect_orb_pyramid(img1, on)
+        assert int(m_on.sum()) <= int(m_off.sum())
