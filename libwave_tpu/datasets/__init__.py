@@ -13,6 +13,8 @@ from libwave_tpu.datasets.euroc import (  # noqa: F401
     load_euroc_imu,
     load_euroc_ground_truth,
     load_euroc_camera_index,
+    load_euroc_tracks,
+    EUROC_CAM0_K,
 )
 from libwave_tpu.datasets.kitti import (  # noqa: F401
     load_kitti_poses,

@@ -87,3 +87,21 @@ def load_euroc_camera_index(root: str, cam: str = "cam0"):
                 os.path.join(os.path.dirname(path), "data", parts[1].strip())
             )
     return np.asarray(times), names
+
+
+def load_euroc_tracks(root: str, cam: str = "cam0") -> np.ndarray:
+    """cam0/tracks.csv feature-track sidecar: (frame, landmark_id, u, v)
+    rows, float64 (T, 4). This is the framework's front-end export format —
+    what the tracker produces from the cam0 images (the reference's analog
+    is the vo_data_drive_0036 track dump its KITTI example loads,
+    wave_optimization/tests/data/)."""
+    path = _data_csv(root, cam).replace("data.csv", "tracks.csv")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no tracks.csv next to {cam}/data.csv")
+    return native.load_csv(path)
+
+
+# EuRoC cam0 intrinsics (sensor.yaml of the public dataset)
+EUROC_CAM0_K = np.array(
+    [[458.654, 0.0, 367.215], [0.0, 457.296, 248.375], [0.0, 0.0, 1.0]]
+)

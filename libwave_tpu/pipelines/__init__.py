@@ -11,6 +11,11 @@ from libwave_tpu.pipelines.vio import (  # noqa: F401
     solve_vio_staged,
     vio_from_sim,
 )
+from libwave_tpu.pipelines.euroc_vio import (  # noqa: F401
+    EurocVIOParams,
+    build_euroc_vio_problem,
+    run_euroc_vio,
+)
 from libwave_tpu.pipelines.lidar_odometry import (  # noqa: F401
     LidarOdometryConfig,
     LidarOdometryResult,

@@ -1,0 +1,264 @@
+"""End-to-end VIO on an EuRoC (ASL-format) sequence.
+
+The north-star pipeline (BASELINE.md: EuRoC MH_01 ATE): load IMU + camera
+feature tracks through ``libwave_tpu.datasets.euroc``, preintegrate per
+keyframe interval, triangulate an initial map from dead-reckoned poses,
+solve the full VIO factor graph (Huber-robust against track outliers), and
+report ATE against the dataset's ground truth. The reference's analog is
+the offline GTSAM pipeline over dumped feature tracks
+(wave_gtsam/tests/gtsam/gtsam_offline_kitti_example.cpp:25-153: load ->
+backproject init -> LM -> per-pose error thresholds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libwave_tpu.benchmark.trajectory import (
+    Trajectory,
+    absolute_trajectory_error,
+)
+from libwave_tpu.datasets.euroc import (
+    EUROC_CAM0_K,
+    load_euroc_camera_index,
+    load_euroc_ground_truth,
+    load_euroc_imu,
+    load_euroc_tracks,
+)
+from libwave_tpu.geometry import so3
+from libwave_tpu.geometry.se3 import SE3
+from libwave_tpu.optim import schur
+from libwave_tpu.optim.imu import imu_sqrt_info, preintegrate_imu
+from libwave_tpu.pipelines.vio import (
+    VIOConfig,
+    VIOProblem,
+    VIOState,
+    solve_vio,
+    vio_dead_reckon,
+)
+from libwave_tpu.sim.vo_dataset import q_BC as default_q_BC
+
+
+@dataclasses.dataclass(frozen=True)
+class EurocVIOParams:
+    pixel_sigma: float = 1.0
+    huber_delta: float = 3.0  # whitened px — robust to track outliers
+    max_keyframes: int = 0  # 0 = all camera frames
+    min_track_length: int = 3
+    # reprojection gate (px) against the dead-reckoned init: observations
+    # beyond it are outliers the front-end's RANSAC would reject; they are
+    # weight-zeroed and landmarks re-triangulated from the survivors. The
+    # gate must sit well ABOVE the dead-reckoning drift's pixel footprint
+    # (gating at drift level would delete the correction signal itself) and
+    # below the uniform-outlier scale (~hundreds of px).
+    outlier_gate_px: float = 100.0
+    gate_rounds: int = 2
+    gyro_noise_density: float = 1.7e-4
+    accel_noise_density: float = 2.0e-3
+    bias_walk_sqrt_info: float = 1e3
+    bias_prior_gyro: float = 1e2
+    bias_prior_accel: float = 1e1
+
+
+def _triangulate_dlt(rows_P, rows_uv):
+    """Linear DLT from >= 2 views: rows_P (V, 3, 4) projection matrices,
+    rows_uv (V, 2). Host numpy."""
+    A = []
+    for P, (u, v) in zip(rows_P, rows_uv):
+        A.append(u * P[2] - P[0])
+        A.append(v * P[2] - P[1])
+    A = np.asarray(A)
+    _, _, Vt = np.linalg.svd(A)
+    X = Vt[-1]
+    return X[:3] / X[3] if abs(X[3]) > 1e-12 else X[:3]
+
+
+def build_euroc_vio_problem(root: str,
+                            params: EurocVIOParams = EurocVIOParams(),
+                            K: np.ndarray | None = None):
+    """Host-side problem assembly: loaders -> preintegration -> track bank
+    -> triangulated initial map -> (problem, init_state, gt Trajectory,
+    keyframe times)."""
+    imu = load_euroc_imu(root)
+    gt = load_euroc_ground_truth(root)
+    cam_times, _ = load_euroc_camera_index(root)
+    tracks = load_euroc_tracks(root)
+
+    N = len(cam_times)
+    if params.max_keyframes and N > params.max_keyframes:
+        N = params.max_keyframes
+        cam_times = cam_times[:N]
+    dt_imu = float(np.median(np.diff(imu.times)))
+
+    # preintegrate each keyframe interval (equal-length windows: uniform
+    # camera rate over a uniform IMU stream)
+    steps = int(round((cam_times[1] - cam_times[0]) / dt_imu))
+    z3 = jnp.zeros(3)
+    pims = []
+    for i in range(N - 1):
+        s = int(round((cam_times[i] - imu.times[0]) / dt_imu))
+        pims.append(
+            preintegrate_imu(
+                jnp.asarray(imu.gyro[s:s + steps]),
+                jnp.asarray(imu.accel[s:s + steps]),
+                dt_imu, z3, z3,
+                gyro_noise_density=params.gyro_noise_density,
+                accel_noise_density=params.accel_noise_density,
+            )
+        )
+    pim_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *pims)
+    sqrt_infos = jnp.stack([imu_sqrt_info(p) for p in pims])
+
+    # feature-track bank: dense landmark ids, minimum track length
+    frames = tracks[:, 0].astype(np.int64)
+    keep = frames < N
+    frames = frames[keep]
+    raw_ids = tracks[keep, 1].astype(np.int64)
+    uv_all = tracks[keep, 2:4]
+    uniq, inv, counts = np.unique(
+        raw_ids, return_inverse=True, return_counts=True
+    )
+    long_enough = counts[inv] >= params.min_track_length
+    frames = frames[long_enough]
+    inv = inv[long_enough]
+    uv_all = uv_all[long_enough]
+    uniq2, lm_ids = np.unique(inv, return_inverse=True)
+    M = len(uniq2)
+
+    order = np.argsort(frames, kind="stable")
+    pose_idx = frames[order].astype(np.int32)
+    lm_idx = lm_ids[order].astype(np.int32)
+    uv = uv_all[order]
+
+    Kmat = EUROC_CAM0_K if K is None else K
+    qbc = np.asarray(default_q_BC(np.float64))
+
+    # initial state: dead-reckon the IMU chain from the ground-truth start
+    gi = int(np.argmin(np.abs(gt.times - cam_times[0])))
+    q0 = jnp.asarray(gt.q[gi] / np.linalg.norm(gt.q[gi]))
+    p0 = jnp.asarray(gt.p[gi])
+    v0 = jnp.asarray(gt.v[gi])
+
+    free = np.ones((N, 15))
+    free[0, 0:6] = 0.0
+
+    pose_ell, lm_ell, pad_mask, ell, uv_p = schur.pack_observations(
+        pose_idx, lm_idx, N, M, uv
+    )
+    problem = VIOProblem(
+        K=jnp.asarray(Kmat),
+        pose_idx=pose_ell,
+        lm_idx=lm_ell,
+        uv=jnp.asarray(uv_p),
+        obs_weight=pad_mask.astype(jnp.float64),
+        pim=pim_stack,
+        imu_i=jnp.arange(N - 1, dtype=jnp.int32),
+        imu_j=jnp.arange(1, N, dtype=jnp.int32),
+        imu_sqrt_info=sqrt_infos,
+        bias_walk_sqrt_info=jnp.full((6,), params.bias_walk_sqrt_info),
+        bias_prior_sqrt_info=jnp.concatenate(
+            [
+                jnp.full((3,), params.bias_prior_gyro),
+                jnp.full((3,), params.bias_prior_accel),
+            ]
+        ),
+        ell=ell,
+        free_pose=jnp.asarray(free),
+        q_BC=jnp.asarray(qbc),
+        pixel_sigma=params.pixel_sigma,
+    )
+
+    # dead-reckoned keyframe chain -> triangulated initial map
+    state0 = vio_dead_reckon(
+        problem, q0, p0, v0, jnp.zeros((M, 3))
+    )
+    qs = np.asarray(state0.q)
+    ps = np.asarray(state0.p)
+    P_mats = np.zeros((N, 3, 4))
+    for i in range(N):
+        q_GC = np.asarray(
+            so3.quat_multiply(jnp.asarray(qs[i]), jnp.asarray(qbc))
+        )
+        R = np.asarray(so3.quat_to_rot(jnp.asarray(q_GC)))
+        P_mats[i, :, :3] = Kmat @ R.T
+        P_mats[i, :, 3] = -Kmat @ R.T @ ps[i]
+
+    # alternate triangulation with reprojection gating: round 1 uses all
+    # observations (outliers included), later rounds re-triangulate from
+    # survivors of the gate — the pipeline stand-in for the front-end's
+    # RANSAC outlier rejection (brute_force_matcher.cpp:122-158)
+    inlier = np.ones(len(pose_idx), bool)
+    lm_init = np.zeros((M, 3))
+    for _ in range(max(params.gate_rounds, 1)):
+        for m in range(M):
+            sel = np.nonzero((lm_idx == m) & inlier)[0]
+            if sel.size < 2:
+                sel = np.nonzero(lm_idx == m)[0]
+            use = sel[:: max(len(sel) // 4, 1)][:4]  # spread up to 4 views
+            lm_init[m] = _triangulate_dlt(P_mats[pose_idx[use]], uv[use])
+        # reproject, gate
+        Xh = np.concatenate([lm_init, np.ones((M, 1))], axis=-1)
+        proj = np.einsum("kij,kj->ki", P_mats[pose_idx], Xh[lm_idx])
+        z = proj[:, 2]
+        uv_hat = proj[:, :2] / np.where(np.abs(z) < 1e-9, 1e-9, z)[:, None]
+        err = np.linalg.norm(uv_hat - uv, axis=-1)
+        inlier = (z > 0.1) & (err < params.outlier_gate_px)
+
+    # weight-zero the gated-out observations; drop landmarks left with < 2
+    # inliers entirely (their init is untrustworthy)
+    lm_inlier_count = np.bincount(lm_idx[inlier], minlength=M)
+    inlier &= lm_inlier_count[lm_idx] >= 2
+    weight = inlier.astype(np.float64)
+    pose_ell, lm_ell, pad_mask, ell, uv_p, w_p = schur.pack_observations(
+        pose_idx, lm_idx, N, M, uv, weight
+    )
+    problem = problem._replace(
+        pose_idx=pose_ell, lm_idx=lm_ell, uv=jnp.asarray(uv_p),
+        obs_weight=jnp.asarray(w_p) * pad_mask, ell=ell,
+    )
+    state0 = state0._replace(lm=jnp.asarray(lm_init))
+
+    gt_traj = Trajectory(
+        times=jnp.asarray(gt.times),
+        poses=SE3(q=jnp.asarray(gt.q), t=jnp.asarray(gt.p)),
+    )
+    return problem, state0, gt_traj, jnp.asarray(cam_times)
+
+
+def run_euroc_vio(root: str, params: EurocVIOParams = EurocVIOParams(),
+                  cfg: VIOConfig | None = None, K: np.ndarray | None = None):
+    """Full pipeline: build -> solve -> ATE. Returns (state, report dict)."""
+    problem, init, gt_traj, kf_times = build_euroc_vio_problem(
+        root, params, K
+    )
+    if cfg is None:
+        # The IMU chain couples consecutive keyframes stiffly, so the
+        # block-Jacobi-preconditioned CG propagates corrections roughly one
+        # keyframe per iteration — budget CG at ~2x the keyframe count and
+        # let LM run long (each iteration is cheap on device).
+        cfg = VIOConfig(
+            max_iterations=40, cg_max_iters=150,
+            huber_delta=params.huber_delta,
+        )
+    state, info = jax.jit(
+        lambda pr, st: solve_vio(pr, st, cfg)
+    )(problem, init)
+
+    est = Trajectory(times=kf_times, poses=SE3(q=state.q, t=state.p))
+    ate, err = absolute_trajectory_error(gt_traj, est)
+    init_est = Trajectory(times=kf_times, poses=SE3(q=init.q, t=init.p))
+    ate0, _ = absolute_trajectory_error(gt_traj, init_est)
+    report = {
+        "ate_rmse": float(ate),
+        "ate_rmse_deadreckon": float(ate0),
+        "per_pose_error": np.asarray(err),
+        "final_cost": float(info["final_cost"]),
+        "initial_cost": float(info["initial_cost"]),
+        "num_keyframes": int(state.q.shape[0]),
+        "num_landmarks": int(state.lm.shape[0]),
+    }
+    return state, report

@@ -95,6 +95,10 @@ class VIOConfig:
     init_lambda: float = 1e-4
     lambda_up: float = 4.0
     lambda_down: float = 0.5
+    # Huber scale on the *whitened* reprojection norm (units of
+    # pixel_sigma), None = plain L2. Applied by IRLS reweighting; real
+    # feature tracks carry outliers that a quadratic loss lets dominate.
+    huber_delta: float = None
 
 
 def _imu_linearize(problem: VIOProblem, state: VIOState):
@@ -156,10 +160,14 @@ def _camera_quats(problem, q_body):
 
 
 def vio_cost(problem: VIOProblem, state: VIOState,
-             axis_name: str | None = None) -> jnp.ndarray:
+             axis_name: str | None = None,
+             huber_delta: float | None = None) -> jnp.ndarray:
     """``axis_name``: sharded ELL mode — the reprojection bank is this
     device's keyframe block; its cost psums over the mesh while the
-    (replicated) IMU/bias factor costs are added once."""
+    (replicated) IMU/bias factor costs are added once. ``huber_delta``
+    robustifies the whitened reprojection norm (VIOConfig.huber_delta)."""
+    from libwave_tpu.optim.ba import _huber_rho
+
     N = problem.free_pose.shape[0]
     q_cam, nb = schur.local_pose_block(
         _camera_quats(problem, state.q), N, axis_name
@@ -174,8 +182,12 @@ def vio_cost(problem: VIOProblem, state: VIOState,
         problem.uv.T.reshape(2, nb, -1),
     )
     wf = problem.obs_weight.reshape(nb, -1)
-    w = wf * valid.astype(r.dtype) / problem.pixel_sigma**2
-    c = 0.5 * jnp.sum(w * (r[0] * r[0] + r[1] * r[1]))
+    wv = wf * valid.astype(r.dtype)
+    sq_white = (r[0] * r[0] + r[1] * r[1]) / problem.pixel_sigma**2
+    if huber_delta is None:
+        c = 0.5 * jnp.sum(wv * sq_white)
+    else:
+        c = jnp.sum(wv * _huber_rho(sq_white, huber_delta))
     # behind-camera observations carry a fixed penalty (see ba_cost)
     c = c + 1e6 * jnp.sum(wf * (~valid).astype(r.dtype))
     if axis_name is not None:
@@ -237,6 +249,12 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
         * valid.astype(dtype)
         / problem.pixel_sigma**2
     )
+    if cfg.huber_delta is not None:
+        # IRLS weight rho'(s)/1 = min(1, delta/|r_white|)
+        rn = jnp.sqrt(
+            jnp.maximum(r[0] * r[0] + r[1] * r[1], 1e-20)
+        ) / problem.pixel_sigma
+        w = w * jnp.minimum(1.0, cfg.huber_delta / rn)
 
     # IMU + bias-walk factors -> diagonal contributions + couplings
     r_imu, Ji, Jj = _imu_linearize(problem, state)
@@ -281,7 +299,7 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
     dlm = schur.back_substitute(blocks, cg.x)
 
     new_state = state.retract(cg.x, dlm, problem.free_pose)
-    new_cost = vio_cost(problem, new_state, axis_name)
+    new_cost = vio_cost(problem, new_state, axis_name, cfg.huber_delta)
     step_ok = jnp.isfinite(jnp.sum(cg.x)) & jnp.isfinite(jnp.sum(dlm))
     accept = (new_cost < cost) & jnp.isfinite(new_cost) & step_ok
     state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new_state, state)
@@ -299,7 +317,7 @@ def solve_vio(problem: VIOProblem, state: VIOState,
     """Run the full VIO LM optimization (jit-able). ``axis_name``: sharded
     ELL mode inside shard_map — see
     :func:`libwave_tpu.parallel.dist_vio.solve_vio_sharded`."""
-    cost0 = vio_cost(problem, state, axis_name)
+    cost0 = vio_cost(problem, state, axis_name, cfg.huber_delta)
     carry = (state, jnp.asarray(cfg.init_lambda, state.p.dtype), cost0)
     carry, (costs, accepts, cg_iters) = jax.lax.scan(
         lambda c, x: _vio_iteration(problem, cfg, c, x, axis_name),

@@ -7,3 +7,7 @@ from libwave_tpu.sim.vo_dataset import (  # noqa: F401
     load_vo_dataset,
     save_vo_dataset,
 )
+from libwave_tpu.sim.euroc_sim import (  # noqa: F401
+    EurocSimParams,
+    generate_euroc_sequence,
+)
