@@ -24,6 +24,14 @@ from libwave_tpu.parallel.dist_vio import (  # noqa: F401
     partition_vio_problem,
     solve_vio_sharded,
 )
+from libwave_tpu.parallel.multihost import (  # noqa: F401
+    MultiHostConfig,
+    initialize_multihost,
+    make_host_mesh,
+    flatten_mesh,
+    host_block_range,
+    solve_ba_multihost,
+)
 from libwave_tpu.parallel.dist_pose_graph import (  # noqa: F401
     BlockPoseGraph,
     partition_pose_graph,

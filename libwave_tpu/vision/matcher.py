@@ -234,11 +234,26 @@ def match_descriptors(
 
     Returns (idx2 (N1,), valid (N1,), diagnostics dict). Row i of image-1
     keypoints matches xy2[idx2[i]] where valid.
+
+    On TPU the knn path runs the fused Hamming+top-2 Pallas kernel
+    (libwave_tpu.ops.hamming.hamming_top2) — per-row running top-2 in VMEM,
+    no (N1, N2) matrix in HBM; elsewhere (and for the distance heuristic,
+    which needs the full matrix for cross-check) the XLA matrix path.
     """
-    dist = hamming_distance_matrix(desc1, desc2, mask1, mask2)
-    if params.use_knn:
+    if params.use_knn and jax.default_backend() == "tpu":
+        from libwave_tpu.ops.hamming import hamming_top2
+
+        best, second, idx2 = hamming_top2(desc1, desc2, mask2)
+        valid = (
+            (best.astype(jnp.float32)
+             <= params.ratio_threshold * second.astype(jnp.float32))
+            & (best < _BIG)
+        )
+    elif params.use_knn:
+        dist = hamming_distance_matrix(desc1, desc2, mask1, mask2)
         idx2, valid = match_ratio_test(dist, params.ratio_threshold)
     else:
+        dist = hamming_distance_matrix(desc1, desc2, mask1, mask2)
         idx2, valid = match_distance_heuristic(
             dist, params.distance_threshold, params.cross_check
         )

@@ -29,6 +29,8 @@ from libwave_tpu.parallel import (
     unpartition,
 )
 
+pytestmark = pytest.mark.slow  # distributed solves on the 8-device mesh
+
 N_POSES = 197  # deliberately not divisible by 8: exercises block padding
 
 

@@ -50,6 +50,7 @@ class TestLoaders:
         assert tracks[:, 0].max() == n_frames - 1
 
 
+@pytest.mark.slow
 class TestEndToEnd:
     def test_vio_ate_bound(self, seq_dir):
         """The full pipeline beats dead reckoning and lands under the ATE

@@ -32,6 +32,8 @@ from libwave_tpu.optim import schur
 from libwave_tpu.sim import load_vo_dataset
 from libwave_tpu.sim.vo_dataset import q_BC
 
+pytestmark = pytest.mark.slow  # reference-data parity solve (~1 min jit+solve)
+
 DATASET_DIR = "/root/reference/wave_optimization/tests/data/vo_data_drive_0036"
 
 

@@ -186,6 +186,7 @@ class TestNDT:
         )
 
 
+@pytest.mark.slow
 class TestMultiMatcher:
     def test_batch_of_8(self, scan):
         """8 simultaneous registrations (multi_matcher_tests.cpp:31-44 runs

@@ -1,6 +1,7 @@
 """Pallas kernel tests (interpreter mode on CPU; the same kernels compile on
 TPU — exercised by bench/driver runs)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,3 +46,61 @@ class TestHammingKernel:
         assert out.shape == (130, 257)
         ref = hamming_distance_matrix(d1, d2)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestFusedTop2:
+    """hamming_top2 == full-matrix top-2 (the kernel the ratio test uses on
+    TPU — VERDICT r1 item 7)."""
+
+    def _reference_top2(self, d1, d2, mask2=None):
+        dist = hamming_distance_matrix(d1, d2, None, mask2)
+        neg = -dist.astype(jnp.float32)
+        top2, idx = jax.lax.top_k(neg, 2)
+        return (-top2[:, 0]).astype(jnp.int32), (
+            -top2[:, 1]
+        ).astype(jnp.int32), idx[:, 0]
+
+    def test_matches_matrix_path(self, rng):
+        from libwave_tpu.ops.hamming import hamming_top2
+
+        d1 = jnp.asarray(
+            rng.integers(0, 2**32, (300, 8), dtype=np.uint64).astype(np.uint32)
+        )
+        d2 = jnp.asarray(
+            rng.integers(0, 2**32, (517, 8), dtype=np.uint64).astype(np.uint32)
+        )
+        best, second, idx = hamming_top2(d1, d2)
+        rb, rs, ridx = self._reference_top2(d1, d2)
+        np.testing.assert_array_equal(np.asarray(best), np.asarray(rb))
+        np.testing.assert_array_equal(np.asarray(second), np.asarray(rs))
+        # index may differ only on exact-tie rows
+        tie = np.asarray(rb) == np.asarray(rs)
+        np.testing.assert_array_equal(
+            np.asarray(idx)[~tie], np.asarray(ridx)[~tie]
+        )
+
+    def test_mask2_excludes_columns(self, rng):
+        from libwave_tpu.ops.hamming import hamming_top2
+
+        d1 = jnp.asarray(
+            rng.integers(0, 2**32, (64, 4), dtype=np.uint64).astype(np.uint32)
+        )
+        d2 = jnp.concatenate([d1, d1], axis=0)  # duplicates
+        mask2 = jnp.concatenate(
+            [jnp.ones(64, bool), jnp.zeros(64, bool)]
+        )
+        best, second, idx = hamming_top2(d1, d2, mask2)
+        # with the duplicate half masked out, each row's best is its own
+        # copy at distance 0 and the second-best is a genuine other row
+        np.testing.assert_array_equal(np.asarray(best), 0)
+        assert (np.asarray(idx) == np.arange(64)).all()
+        assert (np.asarray(second) > 0).all()
+
+    def test_identical_rows_tie(self):
+        from libwave_tpu.ops.hamming import hamming_top2
+
+        d = jnp.asarray(np.full((4, 2), 7, np.uint32))
+        best, second, idx = hamming_top2(d, d)
+        np.testing.assert_array_equal(np.asarray(best), 0)
+        np.testing.assert_array_equal(np.asarray(second), 0)
+        np.testing.assert_array_equal(np.asarray(idx), 0)  # first occurrence

@@ -28,6 +28,8 @@ from libwave_tpu.parallel import (
 from libwave_tpu.sim import VoSimParams, generate_vo_dataset
 from libwave_tpu.geometry import so3
 
+pytestmark = pytest.mark.slow  # sharded equivalence solves on the 8-device mesh
+
 
 @pytest.fixture(scope="module")
 def problem_state():
@@ -231,4 +233,53 @@ class TestShardedVIO:
         )
         np.testing.assert_allclose(
             np.asarray(dist_state.lm), np.asarray(local_state.lm), atol=1e-7
+        )
+
+
+class TestMultiHost:
+    """Multi-host wiring (single-host degenerate on the virtual mesh)."""
+
+    def test_config_validation(self):
+        from libwave_tpu.parallel import MultiHostConfig
+
+        with pytest.raises(ValueError, match="together"):
+            MultiHostConfig(coordinator_address="h:1234").validate()
+        MultiHostConfig().validate()
+        MultiHostConfig(
+            coordinator_address="h:1234", num_processes=2, process_id=0
+        ).validate()
+
+    def test_initialize_single_host_noop(self):
+        from libwave_tpu.parallel import initialize_multihost
+
+        assert initialize_multihost() is False
+
+    def test_host_mesh_shape(self):
+        from libwave_tpu.parallel import flatten_mesh, make_host_mesh
+
+        mesh = make_host_mesh()
+        assert mesh.axis_names == ("dcn", "ici")
+        assert mesh.devices.shape == (1, 8)
+        flat = flatten_mesh(mesh)
+        assert flat.axis_names == ("dp",)
+        assert flat.devices.shape == (8,)
+
+    def test_host_block_range(self):
+        from libwave_tpu.parallel import host_block_range
+
+        lo, hi = host_block_range(100)
+        assert (lo, hi) == (0, 100)  # single process owns everything
+
+    def test_solve_ba_multihost_matches_local(self, problem_state):
+        from libwave_tpu.parallel import solve_ba_multihost
+
+        problem, gt, init = problem_state
+        cfg = BAConfig(max_iterations=4, cg_max_iters=40)
+        local_state, local_info = jax.jit(
+            lambda pr, st: solve_ba(pr, st, cfg)
+        )(problem, init)
+        state, info = solve_ba_multihost(problem, init, cfg)
+        np.testing.assert_allclose(
+            float(info["final_cost"]), float(local_info["final_cost"]),
+            rtol=1e-5, atol=1e-14,
         )

@@ -14,6 +14,8 @@ from libwave_tpu.pipelines import (VIOConfig, VIOState, solve_vio,
 from libwave_tpu.pipelines.vio import vio_cost
 from libwave_tpu.sim import VoSimParams, generate_vo_dataset
 
+pytestmark = pytest.mark.slow  # full VIO solves (compile-heavy)
+
 
 @pytest.fixture(scope="module")
 def vio_setup():
