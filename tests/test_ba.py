@@ -171,3 +171,112 @@ class TestBASolve:
     def test_zero_cost_at_ground_truth(self, dataset):
         problem, gt = ba_from_dataset(dataset)
         assert float(ba_cost(problem, gt)) < 1e-12
+
+
+@pytest.mark.slow
+class TestCheiralityCrossing:
+    """Landmarks initialized behind SOME of their observers must cross
+    those camera planes mid-solve and recover (guard under test: the
+    per-violation penalty in ba_cost, optim/ba.py — VERDICT r1 item 10).
+
+    Two deliberate findings are encoded here:
+    - the robust (Huber) loss is REQUIRED for crossing: with plain L2 the
+      extreme-but-valid residuals of a badly-placed landmark cost more
+      than the 1e6 penalty, so the cheapest descent direction hides
+      observations behind the camera instead of fixing the landmark;
+    - a landmark behind ALL of its observers has zero gradient (masked
+      residuals) and cannot be recovered by any local step — that is init
+      hygiene (reprojection gating / re-triangulation, see
+      pipelines.euroc_vio), not solver work, matching Ceres/GTSAM which
+      drop such observations outright.
+    """
+
+    def _partial_crossing_init(self, problem, gt, max_lms=6):
+        """Scale chosen landmarks toward the rig until each sits behind
+        a minority of its observers (0 < behind <= half)."""
+        from libwave_tpu.geometry import so3 as _so3
+
+        N = gt.q.shape[0]
+        lm_ids = np.asarray(problem.lm_idx.reshape(N, -1))
+        w = np.asarray(problem.weight.reshape(N, -1))
+        R = np.asarray(_so3.quat_to_rot(gt.q))
+        p = np.asarray(gt.p)
+        lm = np.asarray(gt.lm).copy()
+
+        def behind(X, cams):
+            d = X[None, :] - p[cams]
+            return int(
+                (np.einsum("nj,nj->n", R[cams][:, :, 2], d) < 1e-6).sum()
+            )
+
+        crossed = []
+        for lid in range(lm.shape[0]):
+            cams = np.unique(np.nonzero((lm_ids == lid) & (w > 0))[0])
+            if cams.size < 6:
+                continue
+            for s in np.linspace(0.2, -0.2, 17):
+                b = behind(lm[lid] * s, cams)
+                if 0 < b <= cams.size // 2:
+                    lm[lid] = lm[lid] * s
+                    crossed.append(lid)
+                    break
+            if len(crossed) >= max_lms:
+                break
+        return lm, crossed, w
+
+    def _violations(self, problem, state, w):
+        from libwave_tpu.optim.reprojection import reprojection_residual_ell
+
+        N = state.q.shape[0]
+        _, valid = reprojection_residual_ell(
+            problem.K, state.q, state.p, state.lm,
+            problem.lm_idx.reshape(N, -1),
+            problem.uv.T.reshape(2, N, -1),
+        )
+        return int(((~np.asarray(valid)) & (w > 0)).sum())
+
+    def test_landmarks_cross_and_recover(self, dataset):
+        problem, gt = ba_from_dataset(dataset)
+        lm0, crossed, w = self._partial_crossing_init(problem, gt)
+        assert len(crossed) >= 4
+        init = BAState(q=gt.q, p=gt.p, lm=jnp.asarray(lm0))
+        assert self._violations(problem, init, w) > 0
+
+        cfg = BAConfig(max_iterations=60, cg_max_iters=80, huber_delta=3.0)
+        state, info = jax.jit(
+            lambda pr, st: solve_ba(pr, st, cfg)
+        )(problem, init)
+
+        # accepted-cost trace is monotone non-increasing (the acceptance
+        # test must not oscillate across the penalty discontinuity)
+        costs = np.asarray(info["costs"])
+        assert (
+            np.diff(costs) <= 1e-9 * np.maximum(costs[:-1], 1)
+        ).all(), costs
+
+        # every observation ends up in front of its camera
+        assert self._violations(problem, state, w) == 0
+
+        # the crossed landmarks recover — except possibly low-parallax ones
+        # that settle far along their (consistent, in-front) bearing
+        lm_err = np.linalg.norm(
+            np.asarray(state.lm)[crossed] - np.asarray(gt.lm)[crossed],
+            axis=-1,
+        )
+        assert (lm_err < 0.5).sum() >= len(crossed) - 1, lm_err
+        assert float(info["final_cost"]) < 100.0
+
+    def test_l2_fails_where_huber_crosses(self, dataset):
+        """Documents the interplay the guard creates: with plain L2 the
+        same init drives observations BEHIND cameras (masking beats paying
+        quadratic cost) — the reason huber_delta is the production
+        default for real tracks."""
+        problem, gt = ba_from_dataset(dataset)
+        lm0, crossed, w = self._partial_crossing_init(problem, gt)
+        init = BAState(q=gt.q, p=gt.p, lm=jnp.asarray(lm0))
+        v0 = self._violations(problem, init, w)
+        cfg = BAConfig(max_iterations=40, cg_max_iters=80)  # no Huber
+        state, info = jax.jit(
+            lambda pr, st: solve_ba(pr, st, cfg)
+        )(problem, init)
+        assert self._violations(problem, state, w) >= v0

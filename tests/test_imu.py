@@ -61,6 +61,7 @@ class TestPreintegration:
             np.asarray(pim_short.cov)
         )
 
+    @pytest.mark.slow
     def test_bias_jacobians_first_order(self):
         """Reference pattern: Jacobians match numerical differentiation to
         1e-3 (imu_preint_test.cpp:137-139). We difference the *reintegrated*

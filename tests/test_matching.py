@@ -113,6 +113,7 @@ class TestICP:
         assert bool(res.converged)
         assert t_diff(res.transform, T_true) < THRESHOLD
 
+    @pytest.mark.slow
     def test_multiscale_larger_displacement(self, scan):
         """icp_tests.cpp:126-146 multiscale case."""
         target, T_true = perturbed(scan, dx=(0.5, 0.3, 0.0), drot=(0, 0, 0.05))
@@ -141,6 +142,7 @@ class TestICPInfo:
         w = np.linalg.eigvalsh(np.asarray(info))
         assert (w > 0).all(), w
 
+    @pytest.mark.slow
     def test_censi_positive_definite(self, scan):
         target, _ = perturbed(scan, dx=(0.1, 0.0, 0.0))
         params = ICPParams(res=0.2, multiscale_steps=0, covar_estimator="CENSI")

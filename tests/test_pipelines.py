@@ -10,6 +10,7 @@ are exercised through the first-class pipelines.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from libwave_tpu.geometry import so3
 from libwave_tpu.geometry.se3 import SE3
@@ -208,6 +209,7 @@ class TestEpipolar:
         assert bool(jnp.all(z1 > 0)) and bool(jnp.all(z2 > 0))
 
 
+@pytest.mark.slow
 class TestTwoFramePipeline:
     def test_runs_on_textured_pair(self):
         from libwave_tpu.vision.detector import FASTParams

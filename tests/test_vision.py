@@ -357,6 +357,7 @@ class TestORBPyramid:
         assert sum(budgets) == 2000
         assert budgets[0] > budgets[-1] > 0
 
+    @pytest.mark.slow
     def test_scale_matching_needs_pyramid(self):
         """Keypoints across a 1.5x scaled pair: the pyramid matches them,
         single-level does not."""
