@@ -1,17 +1,23 @@
-"""Benchmark: BA LM iterations/s at 10k landmarks (BASELINE.md north star).
+"""Benchmarks: the BASELINE.md measurement configs on the real chip.
 
-Runs the flagship solve — full LM iterations (linearize, Schur elimination,
-PCG with SCHUR_JACOBI preconditioning, retraction) — on a synthetic problem
-with 10,000 landmarks on the default jax backend (the real TPU chip under the
-driver), and compares against the same computation on host CPU (the
-reference is a CPU library; this is the closest available
-apples-to-apples denominator since libwave publishes no numbers).
+Headline (the JSON line's metric): config 2 — BA LM iterations/s at 10k
+landmarks — full LM iterations (linearize, Schur elimination, PCG with
+SCHUR_JACOBI preconditioning, retraction) vs the same computation on host
+CPU (the reference is a CPU library; the closest apples-to-apples
+denominator since libwave publishes no numbers).
+
+The ``extras`` field carries the other configs:
+  - config 1: two-frame front-end (FAST + BRISK + match + essential RANSAC)
+  - config 3: multiscale ICP odometry on synthetic KITTI-scale scan pairs
+  - config 4: full VIO factor-graph solve (keyframes/s)
+  - speed-of-light accounting: XLA FLOP count of the BA solve, achieved
+    TFLOP/s, and MFU against the chip's bf16 peak
 
 Problem construction is pure numpy on the host: through a remote TPU tunnel
 every extra compile costs minutes and large device->host fetches can fail, so
-the device sees exactly one program — the timed solve.
+the device sees one program per timed benchmark.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 """
 
 import json
@@ -221,6 +227,251 @@ def bench_backend(problem, state, iters=10, repeats=3):
     return iters / median, cost
 
 
+def _median(times):
+    times = sorted(times)
+    m = len(times) // 2
+    return times[m] if len(times) % 2 else 0.5 * (times[m - 1] + times[m])
+
+
+def _time_fn(fn, *args, reps=3):
+    """Compile + warm once, then median wall of ``reps`` calls (fn must
+    return something fetchable to force the device round trip)."""
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return _median(times), out
+
+
+def _blob_image(rng, H=480, W=640, n_blobs=250):
+    ys = rng.uniform(10, H - 10, n_blobs)
+    xs = rng.uniform(10, W - 10, n_blobs)
+    amps = rng.uniform(50, 200, n_blobs)
+    sig = rng.uniform(1.5, 3.0, n_blobs)
+    yy, xx = np.mgrid[0:H, 0:W]
+    img = np.zeros((H, W), np.float32)
+    for y, x, a, s in zip(ys, xs, amps, sig):
+        img += (a * np.exp(-((yy - y) ** 2 + (xx - x) ** 2) / (2 * s * s))
+                ).astype(np.float32)
+    return img
+
+
+def bench_frontend():
+    """Config 1: two-frame FAST + BRISK + ratio match + essential-matrix
+    RANSAC, one jitted program. Returns pairs/s on device and host CPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from libwave_tpu.vision import (
+        FASTParams,
+        MatcherParams,
+        brisk_describe,
+        detect_fast,
+        match_descriptors,
+    )
+
+    rng = np.random.default_rng(0)
+    img1 = _blob_image(rng)
+    img2 = np.roll(img1, (4, 7), axis=(0, 1))
+    fast_p = FASTParams(num_features=512)
+    m_p = MatcherParams()  # knn ratio + RANSAC
+
+    def step(a, b, key):
+        xy1, _, m1 = detect_fast(a, fast_p)
+        xy2, _, m2 = detect_fast(b, fast_p)
+        d1, _ = brisk_describe(a, xy1, m1)
+        d2, _ = brisk_describe(b, xy2, m2)
+        idx2, valid, diag = match_descriptors(
+            d1, d2, xy1, xy2, m1, m2, key, m_p
+        )
+        return jnp.sum(valid)
+
+    key = jax.random.key(0)
+    f = jax.jit(step)
+    a = jnp.asarray(img1)
+    b = jnp.asarray(img2)
+    dt, good = _time_fn(f, a, b, key)
+    out = {"frontend_pairs_per_s": round(1.0 / dt, 2),
+           "frontend_good_matches": int(good)}
+    try:
+        import dataclasses as _dc
+
+        m_p_cpu = _dc.replace(m_p, use_fused_top2=False)
+
+        def step_cpu(a, b, key):
+            xy1, _, m1 = detect_fast(a, fast_p)
+            xy2, _, m2 = detect_fast(b, fast_p)
+            d1, _ = brisk_describe(a, xy1, m1)
+            d2, _ = brisk_describe(b, xy2, m2)
+            idx2, valid, diag = match_descriptors(
+                d1, d2, xy1, xy2, m1, m2, key, m_p_cpu
+            )
+            return jnp.sum(valid)
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            ac = jax.device_put(a, cpu)
+            bc = jax.device_put(b, cpu)
+            kc = jax.device_put(key, cpu)
+            dt_c, _ = _time_fn(jax.jit(step_cpu), ac, bc, kc, reps=2)
+        out["frontend_pairs_per_s_cpu"] = round(1.0 / dt_c, 2)
+        out["frontend_vs_cpu"] = round(dt_c / dt, 2)
+    except Exception as e:
+        _log(f"frontend cpu denominator unavailable: {e!r}")
+    return out
+
+
+def bench_icp():
+    """Config 3: multiscale point-to-point ICP on a KITTI-scale synthetic
+    scan pair (ring-of-road structure, 4096 points)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libwave_tpu.geometry.se3 import SE3
+    from libwave_tpu.matching import ICPParams, icp_match
+    from libwave_tpu.matching.pointcloud import PointCloud
+
+    rng = np.random.default_rng(1)
+    n = 4096
+    # lidar-like geometry: concentric range rings + scattered structure
+    ang = rng.uniform(0, 2 * np.pi, n)
+    rad = np.abs(rng.normal(12, 6, n)) + 2
+    z = rng.uniform(-1.5, 1.5, n) + 0.1 * rad
+    pts = np.stack(
+        [rad * np.cos(ang), rad * np.sin(ang), z], axis=-1
+    ).astype(np.float32)
+    dq = np.array([np.cos(0.01), 0, 0, np.sin(0.01)], np.float32)
+    t_true = np.array([0.3, -0.15, 0.02], np.float32)
+
+    ref = PointCloud(
+        points=jnp.asarray(pts), mask=jnp.ones((n,), bool)
+    )
+    R = np.array(
+        [[np.cos(0.02), -np.sin(0.02), 0],
+         [np.sin(0.02), np.cos(0.02), 0],
+         [0, 0, 1]], np.float32,
+    )
+    tgt_pts = pts @ R.T + t_true
+    tgt = PointCloud(
+        points=jnp.asarray(tgt_pts), mask=jnp.ones((n,), bool)
+    )
+    params = ICPParams(max_iter=25, multiscale_steps=2, res=0.3)
+
+    f = jax.jit(lambda a, b: icp_match(a, b, params).transform.t)
+    dt, t_est = _time_fn(f, ref, tgt)
+    err = float(np.linalg.norm(np.asarray(t_est) - t_true))
+    return {
+        "icp_scan_pairs_per_s": round(1.0 / dt, 2),
+        "icp_translation_err_m": round(err, 4),
+    }
+
+
+def bench_vio():
+    """Config 4: full VIO factor-graph solve (reprojection + IMU preint +
+    bias walk over 15-dim keyframe states). Keyframes/s at a fixed
+    15-iteration LM budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from libwave_tpu.geometry import so3
+    from libwave_tpu.pipelines import (
+        VIOConfig,
+        VIOState,
+        solve_vio,
+        vio_from_sim,
+    )
+    from libwave_tpu.sim import VoSimParams, generate_vo_dataset
+
+    ds = generate_vo_dataset(
+        VoSimParams(nb_landmarks=120, steps=600, fx=200.0, fy=200.0,
+                    hz=10.0),
+        jax.random.key(2),
+    )
+    problem, gt = vio_from_sim(
+        ds, pixel_noise=0.7, imu_gyro_sigma=1e-4, imu_accel_sigma=1e-3,
+        key=jax.random.key(3),
+    )
+    problem = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        problem,
+    )
+    N, M = gt.q.shape[0], gt.lm.shape[0]
+    ks = jax.random.split(jax.random.key(4), 3)
+    init = VIOState(
+        q=so3.quat_boxplus(
+            gt.q, 0.01 * jax.random.normal(ks[0], (N, 3), gt.p.dtype)
+        ).astype(jnp.float32),
+        p=(gt.p + 0.03 * jax.random.normal(ks[1], (N, 3), gt.p.dtype)
+           ).astype(jnp.float32),
+        v=gt.v.astype(jnp.float32),
+        bg=jnp.zeros((N, 3), jnp.float32),
+        ba=jnp.zeros((N, 3), jnp.float32),
+        lm=(gt.lm + 0.2 * jax.random.normal(ks[2], (M, 3), gt.p.dtype)
+            ).astype(jnp.float32),
+    )
+    cfg = VIOConfig(max_iterations=15, cg_max_iters=60)
+    f = jax.jit(lambda pr, st: solve_vio(pr, st, cfg)[1]["final_cost"])
+    dt, cost = _time_fn(f, problem, init)
+    out = {
+        "vio_keyframes_per_s": round(N / dt, 2),
+        "vio_keyframes": N,
+        "vio_final_cost": round(float(cost), 3),
+    }
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            pc = jax.device_put(problem, cpu)
+            ic = jax.device_put(init, cpu)
+            dt_c, _ = _time_fn(jax.jit(
+                lambda pr, st: solve_vio(pr, st, cfg)[1]["final_cost"]
+            ), pc, ic, reps=2)
+        out["vio_keyframes_per_s_cpu"] = round(N / dt_c, 2)
+        out["vio_vs_cpu"] = round(dt_c / dt, 2)
+    except Exception as e:
+        _log(f"vio cpu denominator unavailable: {e!r}")
+    return out
+
+
+# v5e peak (bf16 systolic): the "speed-of-light" denominator. The solve
+# runs f32, so this MFU is a strict lower bound on utilization.
+_PEAK_FLOPS_BF16 = 197e12
+
+
+def ba_flops_accounting(problem, state, iters, device_rate):
+    """XLA's own FLOP count for the jitted BA solve -> achieved TFLOP/s and
+    MFU vs the bf16 peak (BASELINE.md: 'speed-of-light per chip')."""
+    import jax
+
+    from libwave_tpu.optim import BAConfig, solve_ba
+
+    cfg = BAConfig(
+        max_iterations=iters, cg_max_iters=20, cg_tol=1e-5,
+        relative_decrease_tol=0.0, absolute_decrease_tol=0.0,
+    )
+    lowered = jax.jit(lambda pr, st: solve_ba(pr, st, cfg)).lower(
+        problem, state
+    )
+    cost = lowered.compile().cost_analysis()
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    if flops <= 0:
+        return {}
+    per_iter = flops / iters
+    achieved = per_iter * device_rate  # flops/s
+    return {
+        "ba_flops_per_lm_iteration": per_iter,
+        "ba_achieved_tflops": round(achieved / 1e12, 4),
+        "ba_mfu_vs_bf16_peak": round(achieved / _PEAK_FLOPS_BF16, 5),
+    }
+
+
 def main():
     import jax
 
@@ -235,6 +486,20 @@ def main():
         f"{backend} solve: {device_rate:.2f} iter/s, cost {cost:.4g}, "
         f"wall {time.time() - t0:.1f}s"
     )
+
+    extras = {}
+    for name, fn, args in (
+        ("flops", ba_flops_accounting, (problem, state, 10, device_rate)),
+        ("frontend", bench_frontend, ()),
+        ("icp", bench_icp, ()),
+        ("vio", bench_vio, ()),
+    ):
+        t0 = time.time()
+        try:
+            extras.update(fn(*args))
+            _log(f"{name} bench done in {time.time() - t0:.1f}s")
+        except Exception as e:
+            _log(f"{name} bench failed: {e!r}")
 
     # CPU denominator (reference-class hardware), same computation. Fewer
     # LM iterations (rate is per-iteration; the scan compile cost does not
@@ -264,6 +529,7 @@ def main():
                 "value": round(device_rate, 3),
                 "unit": "iter/s",
                 "vs_baseline": round(vs, 3),
+                "extras": extras,
             }
         )
     )

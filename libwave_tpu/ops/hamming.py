@@ -89,9 +89,9 @@ def hamming_distance_pallas(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
 #
 # Measured on the real TPU vs the fused-XLA full-matrix + top_k path
 # (256-bit descriptors, square banks): 2048^2 1.17x, 4096^2 1.04x,
-# 8192^2 **9.5x** (51.0 -> 5.4 ms) — once the (N1, N2, W) intermediate
-# outgrows what XLA keeps fused, the matrix path pays the full HBM
-# round-trip this kernel never takes.
+# 8192^2 **9.5x** (51.0 -> 5.4 ms), 16384^2 **21.2x** (240.8 -> 11.4 ms) —
+# once the (N1, N2, W) intermediate outgrows what XLA keeps fused, the
+# matrix path pays the full HBM round-trip this kernel never takes.
 # ---------------------------------------------------------------------------
 
 _T2M = 128  # query rows per program

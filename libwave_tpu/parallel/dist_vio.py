@@ -61,6 +61,31 @@ def partition_vio_problem(problem: VIOProblem, state: VIOState,
         free_pose=free,
         ell=ell,
     )
+    # pad the IMU factor bank to a multiple of n_shards so the
+    # expert-parallel linearization slices evenly; padding factors carry
+    # zero whitening (silencing both the IMU and bias-walk residuals)
+    F = problem.imu_i.shape[0]
+    f_pad = (-F) % n_shards
+    if f_pad:
+        rep = lambda x: jnp.concatenate(
+            [x, jnp.broadcast_to(x[:1], (f_pad,) + x.shape[1:])]
+        )
+        stacked = stacked._replace(
+            pim=jax.tree.map(rep, problem.pim),
+            imu_i=jnp.concatenate(
+                [problem.imu_i, jnp.zeros(f_pad, problem.imu_i.dtype)]
+            ),
+            imu_j=jnp.concatenate(
+                [problem.imu_j, jnp.zeros(f_pad, problem.imu_j.dtype)]
+            ),
+            imu_sqrt_info=jnp.concatenate(
+                [
+                    problem.imu_sqrt_info,
+                    jnp.zeros((f_pad, 9, 9), problem.imu_sqrt_info.dtype),
+                ]
+            ),
+        )
+
     q_pad = jnp.zeros((pad, 4), state.q.dtype).at[:, 0].set(1.0)
     z = lambda c: jnp.zeros((pad, c), dtype)
     padded_state = state._replace(

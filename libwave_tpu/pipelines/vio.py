@@ -101,10 +101,18 @@ class VIOConfig:
     huber_delta: float = None
 
 
-def _imu_linearize(problem: VIOProblem, state: VIOState):
+def _imu_linearize(problem: VIOProblem, state: VIOState,
+                   axis_name: str | None = None):
     """Residuals + Jacobians of all IMU factors wrt the 15-dim blocks.
 
     Returns (r (F, 9), Ji (F, 9, 15), Jj (F, 9, 15)) — whitened.
+
+    ``axis_name`` (expert-parallel factor placement, SURVEY §2.8 "EP"):
+    each device linearizes an F/n_dev slice of the bank — the jacfwd
+    through the preintegration residual is the expensive part — and the
+    results all_gather so the (replicated) normal-equation assembly stays
+    local. Requires F divisible by the axis size (the partitioner pads
+    with zero-information factors, which the S = 0 whitening silences).
     """
     g = jnp.asarray(problem.gravity, state.p.dtype)
 
@@ -132,23 +140,42 @@ def _imu_linearize(problem: VIOProblem, state: VIOState):
         Jj = jax.jacfwd(res, argnums=1)(z, z)
         return r, Ji, Jj
 
-    return jax.vmap(one)(problem.pim, problem.imu_i, problem.imu_j,
-                         problem.imu_sqrt_info)
+    if axis_name is None:
+        return jax.vmap(one)(problem.pim, problem.imu_i, problem.imu_j,
+                             problem.imu_sqrt_info)
+
+    n_dev = jax.lax.axis_size(axis_name)
+    F = problem.imu_i.shape[0]
+    fb = F // n_dev
+    me = jax.lax.axis_index(axis_name)
+    sl = lambda x: jax.lax.dynamic_slice_in_dim(x, me * fb, fb, axis=0)
+    r, Ji, Jj = jax.vmap(one)(
+        jax.tree.map(sl, problem.pim), sl(problem.imu_i),
+        sl(problem.imu_j), sl(problem.imu_sqrt_info),
+    )
+    gather = lambda x: jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+    return gather(r), gather(Ji), gather(Jj)
 
 
 def _bias_walk_linearize(problem: VIOProblem, state: VIOState):
     """Bias random-walk between consecutive keyframes: r = [bg_j - bg_i,
-    ba_j - ba_i] * sqrt_info. Closed-form Jacobians (constant)."""
+    ba_j - ba_i] * sqrt_info. Closed-form Jacobians (constant). Factors
+    whose IMU whitening is all-zero are padding (EP bank padding) and are
+    silenced here too."""
     i, j = problem.imu_i, problem.imu_j
     si = problem.bias_walk_sqrt_info
+    live = (
+        jnp.sum(jnp.abs(problem.imu_sqrt_info), axis=(-1, -2)) > 0
+    ).astype(state.p.dtype)
     r = jnp.concatenate(
         [state.bg[j] - state.bg[i], state.ba[j] - state.ba[i]], axis=-1
-    ) * si
+    ) * si * live[:, None]
     F = i.shape[0]
     dtype = state.p.dtype
     Ji = jnp.zeros((F, 6, D), dtype)
     Ji = Ji.at[:, 0:3, 9:12].set(-si[0:3, None] * jnp.eye(3, dtype=dtype))
     Ji = Ji.at[:, 3:6, 12:15].set(-si[3:6, None] * jnp.eye(3, dtype=dtype))
+    Ji = Ji * live[:, None, None]
     Jj = -Ji
     return r, Ji, Jj
 
@@ -192,7 +219,7 @@ def vio_cost(problem: VIOProblem, state: VIOState,
     c = c + 1e6 * jnp.sum(wf * (~valid).astype(r.dtype))
     if axis_name is not None:
         c = jax.lax.psum(c, axis_name)
-    r_imu, _, _ = _imu_linearize(problem, state)
+    r_imu, _, _ = _imu_linearize(problem, state, axis_name)
     c = c + 0.5 * jnp.sum(r_imu * r_imu)
     r_bw, _, _ = _bias_walk_linearize(problem, state)
     c = c + 0.5 * jnp.sum(r_bw * r_bw)
@@ -256,8 +283,9 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
         ) / problem.pixel_sigma
         w = w * jnp.minimum(1.0, cfg.huber_delta / rn)
 
-    # IMU + bias-walk factors -> diagonal contributions + couplings
-    r_imu, Ji, Jj = _imu_linearize(problem, state)
+    # IMU + bias-walk factors -> diagonal contributions + couplings;
+    # the IMU jacfwd linearization is sharded over the mesh (EP placement)
+    r_imu, Ji, Jj = _imu_linearize(problem, state, axis_name)
     r_bw, Bi, Bj = _bias_walk_linearize(problem, state)
     bi, bj = problem.imu_i, problem.imu_j
 

@@ -46,6 +46,10 @@ class MatcherParams:
     fm_method: str = "ransac"  # "ransac" | "8point" | "lmeds"
     ransac_reproj_px: float = 3.0
     ransac_hypotheses: int = 256
+    # None = auto (fused Pallas top-2 kernel on TPU backends); set False to
+    # force the XLA matrix path, e.g. when running on a CPU *device* of a
+    # process whose default backend is TPU
+    use_fused_top2: bool = None
 
     def validate(self):
         if not 0 < self.ratio_threshold <= 1:
@@ -240,7 +244,12 @@ def match_descriptors(
     no (N1, N2) matrix in HBM; elsewhere (and for the distance heuristic,
     which needs the full matrix for cross-check) the XLA matrix path.
     """
-    if params.use_knn and jax.default_backend() == "tpu":
+    fused = (
+        params.use_fused_top2
+        if params.use_fused_top2 is not None
+        else jax.default_backend() == "tpu"
+    )
+    if params.use_knn and fused:
         from libwave_tpu.ops.hamming import hamming_top2
 
         best, second, idx2 = hamming_top2(desc1, desc2, mask2)
