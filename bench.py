@@ -440,36 +440,59 @@ def bench_vio():
     return out
 
 
-# v5e peak (bf16 systolic): the "speed-of-light" denominator. The solve
-# runs f32, so this MFU is a strict lower bound on utilization.
+# v5e peaks: the "speed-of-light" denominators. The solve runs f32 VPU/
+# gather-heavy math, so the bf16 MXU peak is a strict upper bound; the HBM
+# roofline is the realistic ceiling for this access pattern.
 _PEAK_FLOPS_BF16 = 197e12
+_PEAK_HBM_BPS = 819e9
 
 
-def ba_flops_accounting(problem, state, iters, device_rate):
-    """XLA's own FLOP count for the jitted BA solve -> achieved TFLOP/s and
-    MFU vs the bf16 peak (BASELINE.md: 'speed-of-light per chip')."""
-    import jax
+def ba_flops_accounting(problem, state, iters, device_rate, cg_iters=20):
+    """Analytic FLOP/byte model of one LM iteration -> achieved rates and
+    roofline fractions (BASELINE.md: 'speed-of-light per chip').
 
-    from libwave_tpu.optim import BAConfig, solve_ba
-
-    cfg = BAConfig(
-        max_iterations=iters, cg_max_iters=20, cg_tol=1e-5,
-        relative_decrease_tol=0.0, absolute_decrease_tol=0.0,
+    XLA's compiled cost_analysis undercounts here (it does not multiply
+    lax.scan bodies by their trip count), so the model is explicit:
+    linearization touches every observation once (~150 flops: quaternion
+    rotate + projection + chained Jacobian products), normal-equation
+    assembly ~140 (W/Hpp/Hll/rhs products + reductions), and each CG
+    iteration sweeps the W bank twice (2 x 18 muls + adds per observation)
+    plus the small per-pose/per-landmark block algebra. Bytes: the W bank
+    (18 f32/obs) is re-read twice per CG iteration; residual banks and
+    per-landmark tables ride along.
+    """
+    K = int(problem.pose_idx.shape[0])  # ELL-padded observation slots
+    N = int(problem.free_pose.shape[0])
+    M = int(state.lm.shape[0])
+    flops_per_iter = (
+        K * (150 + 140)  # linearize + assemble
+        + cg_iters * (K * 80 + M * 30 + N * 90)  # matvec sweeps + blocks
+        + M * 60  # landmark elimination + back-substitution
     )
-    lowered = jax.jit(lambda pr, st: solve_ba(pr, st, cfg)).lower(
-        problem, state
+    bytes_per_iter = 4 * (
+        K * 21  # linearize: read idx/uv/weights, write r + W components
+        + cg_iters * (K * 18 * 2 + M * 9 + N * 42)  # W re-read x2 + blocks
     )
-    cost = lowered.compile().cost_analysis()
-    flops = float(cost.get("flops", 0.0)) if cost else 0.0
-    if flops <= 0:
-        return {}
-    per_iter = flops / iters
-    achieved = per_iter * device_rate  # flops/s
+    achieved_f = flops_per_iter * device_rate
+    achieved_b = bytes_per_iter * device_rate
     return {
-        "ba_flops_per_lm_iteration": per_iter,
-        "ba_achieved_tflops": round(achieved / 1e12, 4),
-        "ba_mfu_vs_bf16_peak": round(achieved / _PEAK_FLOPS_BF16, 5),
+        "ba_flops_per_lm_iteration": float(flops_per_iter),
+        "ba_achieved_gflops": round(achieved_f / 1e9, 2),
+        "ba_mfu_vs_bf16_peak": round(achieved_f / _PEAK_FLOPS_BF16, 6),
+        "ba_achieved_gbps": round(achieved_b / 1e9, 2),
+        "ba_hbm_roofline_fraction": round(achieved_b / _PEAK_HBM_BPS, 4),
     }
+
+
+def bench_ba_large():
+    """Scaling point: 100k landmarks / ~10x the observations. If iter/s
+    drops much less than 10x vs the headline, the 10k-landmark solve is
+    latency-bound, not throughput-bound — the roofline headroom is real."""
+    problem, state = make_problem(
+        num_poses=400, num_landmarks=100_000, obs_per_pose=1500, seed=1
+    )
+    rate, cost = bench_backend(problem, state, iters=5, repeats=2)
+    return {"ba_lm_iterations_per_s_100k_landmarks": round(rate, 2)}
 
 
 def main():
@@ -490,6 +513,7 @@ def main():
     extras = {}
     for name, fn, args in (
         ("flops", ba_flops_accounting, (problem, state, 10, device_rate)),
+        ("ba_large", bench_ba_large, ()),
         ("frontend", bench_frontend, ()),
         ("icp", bench_icp, ()),
         ("vio", bench_vio, ()),

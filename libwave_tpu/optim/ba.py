@@ -92,10 +92,39 @@ class BAConfig:
     # (Ceres LossFunction slot — the reference passes NULL there, ba.cpp:30,
     # but real feature tracks need it.)
     huber_delta: float = None
+    # Reduced-camera-system solver: "pcg" (matrix-free, scales to any size,
+    # required when sharded), "dense" (explicit Schur + Cholesky — the
+    # Ceres DENSE_SCHUR analog, one MXU matmul instead of serial CG
+    # sweeps), or "auto" (dense when the problem fits the memory/size
+    # gates below, else pcg).
+    solver: str = "auto"
+    dense_max_pose_dim: int = 4096  # N*D cap for the dense path
+    dense_max_g_bytes: float = 1.5e9  # cap on the (N*Dj, 3M) scatter
 
     def validate(self):
         if self.max_iterations <= 0:
             raise ValueError("max_iterations must be > 0")
+        if self.solver not in ("auto", "pcg", "dense"):
+            raise ValueError("solver must be auto | pcg | dense")
+
+
+def _use_dense_schur(cfg, N, D, Dj, M, itemsize, axis_name):
+    """Static solver choice (trace-time): dense Schur when allowed and it
+    fits; sharded mode always uses PCG (S couples poses across devices)."""
+    if axis_name is not None:
+        return False
+    if cfg.solver == "pcg":
+        return False
+    g_bytes = itemsize * N * Dj * 3 * M
+    fits = N * D <= cfg.dense_max_pose_dim and g_bytes <= cfg.dense_max_g_bytes
+    if cfg.solver == "dense":
+        if not fits:
+            raise ValueError(
+                f"dense solver requested but N*D={N * D} or G bytes "
+                f"{g_bytes:.2e} exceed the configured caps"
+            )
+        return True
+    return fits
 
 
 # Penalty charged per cheirality-violated observation: without it, a step
@@ -224,8 +253,17 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _,
         ell=problem.ell, axis_name=axis_name,
     )
     rhs = schur.schur_rhs(blocks)
-    cg = schur.pcg(blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol)
-    dx_pose = cg.x
+    if _use_dense_schur(
+        cfg, N, 6, 6, M, jnp.dtype(rhs.dtype).itemsize, axis_name
+    ):
+        dx_pose = schur.dense_schur_solve(blocks, rhs)
+        cg_iterations = jnp.asarray(0, jnp.int32)
+    else:
+        cg = schur.pcg(
+            blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol
+        )
+        dx_pose = cg.x
+        cg_iterations = cg.iterations
     dx_lm = schur.back_substitute(blocks, dx_pose)
 
     free = problem.free_pose[:, None]
@@ -255,7 +293,7 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _,
             cfg.max_lambda,
         ),
     )
-    return (state, lam, cost, converged), (cost, accept, cg.iterations)
+    return (state, lam, cost, converged), (cost, accept, cg_iterations)
 
 
 def solve_ba(problem: BAProblem, state: BAState, cfg: BAConfig = BAConfig(),

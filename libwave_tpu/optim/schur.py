@@ -650,6 +650,105 @@ def schur_jacobi_preconditioner(blocks: SchurBlocks) -> jnp.ndarray:
     return cho_inverse(S_diag)
 
 
+def _sym3_full(s):
+    """(6, M) symmetric components -> (M, 3, 3) full blocks."""
+    M = s.shape[-1]
+    out = jnp.stack(
+        [
+            jnp.stack([s[0], s[1], s[2]], axis=-1),
+            jnp.stack([s[1], s[3], s[4]], axis=-1),
+            jnp.stack([s[2], s[4], s[5]], axis=-1),
+        ],
+        axis=-2,
+    )
+    return out  # (M, 3, 3)
+
+
+def dense_schur_solve(blocks: SchurBlocks, b: jnp.ndarray) -> jnp.ndarray:
+    """Explicit reduced camera system + dense Cholesky — the TPU analog of
+    Ceres' DENSE_SCHUR, and the fast path for small/medium pose counts.
+
+    The matrix-free PCG above is gather/VPU-bound and, on stiff
+    chain-coupled graphs (VIO), needs O(N) iterations for block-Jacobi to
+    propagate information. Here S = Hpp - U Hll^-1 U^T is materialized
+    instead: U rides in a dense (N*Dj, 3M) scatter G, the subtraction is a
+    single MXU matmul A @ G^T with A = G Hll^-1, and the (N*D)^2 system
+    solves by Cholesky. For N*D in the hundreds-to-few-thousands this is
+    one large matmul versus tens of serial CG sweeps. Memory: G is
+    4*N*Dj*3M bytes — the auto solver switch (optim.ba) gates on it.
+
+    Not usable in sharded ELL mode (S couples poses across devices through
+    shared landmarks); the caller keeps PCG there.
+
+    x: (N, D) solution of S x = b with gauge-fixed coordinates pinned.
+    """
+    if blocks.axis_name is not None:
+        raise ValueError("dense_schur_solve is single-device only")
+    D = blocks.bp.shape[1]
+    N = blocks.Hpp.shape[0]
+    M = blocks.bl.shape[-1]
+    Dj = blocks.W.shape[0] // 3
+    dtype = blocks.bp.dtype
+
+    # per-observation W blocks -> dense G (N, M, Dj, 3) scatter-add
+    if blocks.ell is not None:
+        Pmax = blocks.W.shape[2]
+        Wb = blocks.W.reshape(Dj, 3, N, Pmax).transpose(2, 3, 0, 1)
+        lm_slot = blocks.lm_idx.reshape(N, Pmax)
+        G4 = jnp.zeros((N, M, Dj, 3), dtype).at[
+            jnp.arange(N)[:, None], lm_slot
+        ].add(Wb)
+    else:
+        K = blocks.lm_idx.shape[0]
+        Wb = blocks.W.reshape(Dj, 3, K).transpose(2, 0, 1)  # (K, Dj, 3)
+        G4 = jnp.zeros((N, M, Dj, 3), dtype).at[
+            blocks.pose_idx, blocks.lm_idx
+        ].add(Wb)
+
+    G = G4.transpose(0, 2, 1, 3).reshape(N * Dj, M * 3)
+    Hinv = _sym3_full(blocks.Hll_inv)  # (M, 3, 3)
+    A = jnp.einsum(
+        "amj,mjk->amk", G.reshape(N * Dj, M, 3), Hinv
+    ).reshape(N * Dj, M * 3)
+    S_sub = A @ G.T  # (N*Dj, N*Dj) — the MXU-bound step
+
+    # embed into the full (N, D, N, D) system
+    S = jnp.zeros((N, D, N, D), dtype)
+    sub4 = S_sub.reshape(N, Dj, N, Dj)
+    S = S.at[:, :Dj, :, :Dj].add(-sub4)
+    # pose diagonal blocks (already damped) on the block diagonal
+    S = S.at[jnp.arange(N), :, jnp.arange(N), :].add(blocks.Hpp)
+    # pose-pose couplings (between/IMU factors)
+    if blocks.C.shape[0] > 0:
+        S = S.at[blocks.ci, :, blocks.cj, :].add(blocks.C)
+        S = S.at[blocks.cj, :, blocks.ci, :].add(
+            jnp.swapaxes(blocks.C, -1, -2)
+        )
+
+    # gauge projection: pinned coordinates get identity rows/cols
+    if blocks.free_pose.ndim == 1:
+        m = jnp.broadcast_to(blocks.free_pose[:, None], (N, D))
+    else:
+        m = blocks.free_pose
+    mf = m.reshape(-1)
+    Sf = S.reshape(N * D, N * D)
+    Sf = mf[:, None] * Sf * mf[None, :]
+    Sf = Sf + jnp.diag(1.0 - mf)
+    Sf = Sf + (1e-6 if dtype == jnp.float32 else 1e-12) * jnp.eye(
+        N * D, dtype=dtype
+    )
+
+    bf = (b.reshape(-1) * mf)
+    L = jnp.linalg.cholesky(Sf)
+    y = jax.lax.linalg.triangular_solve(
+        L, bf[:, None], left_side=True, lower=True
+    )
+    x = jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True
+    )
+    return (x[:, 0] * mf).reshape(N, D)
+
+
 class CGResult(NamedTuple):
     x: jnp.ndarray
     iterations: jnp.ndarray

@@ -99,6 +99,12 @@ class VIOConfig:
     # pixel_sigma), None = plain L2. Applied by IRLS reweighting; real
     # feature tracks carry outliers that a quadratic loss lets dominate.
     huber_delta: float = None
+    # Reduced-system solver (see optim.ba.BAConfig): dense Schur is
+    # especially valuable for VIO, where the stiff IMU chain makes
+    # block-Jacobi PCG propagate corrections ~one keyframe per iteration.
+    solver: str = "auto"
+    dense_max_pose_dim: int = 4096
+    dense_max_g_bytes: float = 1.5e9
 
 
 def _imu_linearize(problem: VIOProblem, state: VIOState,
@@ -323,12 +329,24 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
         ell=problem.ell, pose_dim=D, axis_name=axis_name,
     )
     rhs = schur.schur_rhs(blocks)
-    cg = schur.pcg(blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol)
-    dlm = schur.back_substitute(blocks, cg.x)
+    from libwave_tpu.optim.ba import _use_dense_schur
 
-    new_state = state.retract(cg.x, dlm, problem.free_pose)
+    if _use_dense_schur(
+        cfg, N, D, 6, M, jnp.dtype(rhs.dtype).itemsize, axis_name
+    ):
+        dx = schur.dense_schur_solve(blocks, rhs)
+        cg_iterations = jnp.asarray(0, jnp.int32)
+    else:
+        cg = schur.pcg(
+            blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol
+        )
+        dx = cg.x
+        cg_iterations = cg.iterations
+    dlm = schur.back_substitute(blocks, dx)
+
+    new_state = state.retract(dx, dlm, problem.free_pose)
     new_cost = vio_cost(problem, new_state, axis_name, cfg.huber_delta)
-    step_ok = jnp.isfinite(jnp.sum(cg.x)) & jnp.isfinite(jnp.sum(dlm))
+    step_ok = jnp.isfinite(jnp.sum(dx)) & jnp.isfinite(jnp.sum(dlm))
     accept = (new_cost < cost) & jnp.isfinite(new_cost) & step_ok
     state = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new_state, state)
     cost = jnp.where(accept, new_cost, cost)
@@ -336,7 +354,7 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
         jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up),
         1e-10, 1e8,
     )
-    return (state, lam, cost), (cost, accept, cg.iterations)
+    return (state, lam, cost), (cost, accept, cg_iterations)
 
 
 def solve_vio(problem: VIOProblem, state: VIOState,

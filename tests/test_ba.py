@@ -280,3 +280,54 @@ class TestCheiralityCrossing:
             lambda pr, st: solve_ba(pr, st, cfg)
         )(problem, init)
         assert self._violations(problem, state, w) >= v0
+
+
+class TestDenseSchurSolver:
+    """Explicit dense Schur + Cholesky (Ceres DENSE_SCHUR analog) against
+    the matrix-free PCG path: same optimum, same accepted trajectory to
+    float tolerance."""
+
+    def test_matches_pcg(self, dataset, rng):
+        problem, gt = ba_from_dataset(dataset)
+        N, M = gt.q.shape[0], gt.lm.shape[0]
+        key = jax.random.key(29)
+        k1, k2, k3 = jax.random.split(key, 3)
+        free = np.asarray(problem.free_pose)[:, None]
+        init = BAState(
+            q=so3.quat_boxplus(
+                gt.q, 0.03 * jax.random.normal(k1, (N, 3), gt.p.dtype) * free
+            ),
+            p=gt.p + 0.05 * jax.random.normal(k2, (N, 3), gt.p.dtype) * free,
+            lm=gt.lm + 0.3 * jax.random.normal(k3, (M, 3), gt.p.dtype),
+        )
+        s_pcg, i_pcg = jax.jit(
+            lambda pr, st: solve_ba(
+                pr, st,
+                BAConfig(max_iterations=15, cg_max_iters=200,
+                         cg_tol=1e-12, solver="pcg"),
+            )
+        )(problem, init)
+        s_d, i_d = jax.jit(
+            lambda pr, st: solve_ba(
+                pr, st, BAConfig(max_iterations=15, solver="dense")
+            )
+        )(problem, init)
+        assert float(i_d["final_cost"]) < 1e-9
+        np.testing.assert_allclose(
+            float(i_d["final_cost"]), float(i_pcg["final_cost"]),
+            rtol=1e-3, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_d.p), np.asarray(s_pcg.p), atol=1e-6
+        )
+        # dense path reports zero CG iterations
+        assert int(np.asarray(i_d["cg_iterations"]).max()) == 0
+        assert int(np.asarray(i_pcg["cg_iterations"]).max()) > 0
+
+    def test_dense_cap_raises(self, dataset):
+        problem, gt = ba_from_dataset(dataset)
+        with pytest.raises(ValueError, match="dense"):
+            solve_ba(
+                problem, gt,
+                BAConfig(solver="dense", dense_max_pose_dim=4),
+            )

@@ -59,7 +59,7 @@ class TestEndToEnd:
             seq_dir, EurocVIOParams(pixel_sigma=0.7)
         )
         assert report["final_cost"] < report["initial_cost"]
-        assert report["ate_rmse"] < 0.10, report
+        assert report["ate_rmse"] < 0.03, report
         assert report["ate_rmse"] < 0.5 * max(
             report["ate_rmse_deadreckon"], 1e-6
         ) or report["ate_rmse_deadreckon"] < 0.02, report

@@ -100,7 +100,7 @@ class TestShardedSolve:
 
     def test_full_solve_matches_local(self, problem_state):
         problem, gt, init = problem_state
-        cfg = BAConfig(max_iterations=8, cg_max_iters=50)
+        cfg = BAConfig(max_iterations=8, cg_max_iters=50, solver="pcg")
 
         local_state, local_info = jax.jit(
             lambda pr, st: solve_ba(pr, st, cfg)
@@ -151,7 +151,8 @@ class TestShardedSolve:
             p=gt.p + 0.05 * jax.random.normal(k2, (N, 3), gt.p.dtype),
             lm=gt.lm + 0.3 * jax.random.normal(k3, (M, 3), gt.p.dtype),
         )
-        cfg = BAConfig(max_iterations=6, cg_max_iters=50, huber_delta=2.0)
+        cfg = BAConfig(max_iterations=6, cg_max_iters=50, huber_delta=2.0,
+                       solver="pcg")
         local_state, local_info = jax.jit(
             lambda pr, st: solve_ba(pr, st, cfg)
         )(problem, init)
@@ -210,7 +211,7 @@ class TestShardedVIO:
             ba=jnp.zeros((N, 3), gt.p.dtype),
             lm=gt.lm + 0.3 * jax.random.normal(ks[3], (M, 3), gt.p.dtype),
         )
-        cfg = VIOConfig(max_iterations=6, cg_max_iters=60)
+        cfg = VIOConfig(max_iterations=6, cg_max_iters=60, solver="pcg")
         local_state, local_info = jax.jit(
             lambda pr, st: solve_vio(pr, st, cfg)
         )(problem, init)
@@ -274,7 +275,7 @@ class TestMultiHost:
         from libwave_tpu.parallel import solve_ba_multihost
 
         problem, gt, init = problem_state
-        cfg = BAConfig(max_iterations=4, cg_max_iters=40)
+        cfg = BAConfig(max_iterations=4, cg_max_iters=40, solver="pcg")
         local_state, local_info = jax.jit(
             lambda pr, st: solve_ba(pr, st, cfg)
         )(problem, init)
