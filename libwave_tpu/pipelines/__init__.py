@@ -16,6 +16,10 @@ from libwave_tpu.pipelines.euroc_vio import (  # noqa: F401
     build_euroc_vio_problem,
     run_euroc_vio,
 )
+from libwave_tpu.pipelines.overlap import (  # noqa: F401
+    pipelined_windows,
+    serial_windows,
+)
 from libwave_tpu.pipelines.lidar_odometry import (  # noqa: F401
     LidarOdometryConfig,
     LidarOdometryResult,

@@ -229,3 +229,32 @@ class TestTwoFramePipeline:
         res = two_frame_pose(img1, img2, K, jax.random.key(0), cfg)
         assert int(res.diagnostics["num_good_matches"]) > 20
         assert np.all(np.isfinite(np.asarray(res.T_21.t)))
+
+
+class TestPipelinedOverlap:
+    """Front-end/back-end software pipeline (PP analog): identical results
+    to the serial schedule, stages on distinct devices."""
+
+    def test_matches_serial_across_devices(self):
+        from libwave_tpu.pipelines import pipelined_windows, serial_windows
+        from libwave_tpu.vision import FASTParams, detect_fast
+
+        rng = np.random.default_rng(5)
+        frames = [
+            jnp.asarray(rng.uniform(0, 255, (64, 96)).astype(np.float32))
+            for _ in range(4)
+        ]
+        fast_p = FASTParams(num_features=32)
+        frontend = jax.jit(lambda img: detect_fast(img, fast_p))
+        backend = jax.jit(
+            lambda feats: jnp.sum(feats[1] * feats[2])  # score mass
+        )
+        d0, d1 = jax.devices()[0], jax.devices()[1]
+        piped = pipelined_windows(
+            frontend, backend, frames, frontend_device=d0, backend_device=d1
+        )
+        serial = serial_windows(frontend, backend, frames)
+        for a, b in zip(piped, serial):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # back-end results actually live on the second device
+        assert list(piped[0].devices())[0] == d1
