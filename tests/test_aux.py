@@ -95,3 +95,82 @@ class TestViz:
         out = str(tmp_path / "tracks.png")
         viz.draw_tracks(img, xy, mask, out)
         assert os.path.exists(out)
+
+
+class TestPeriodicSolverCheckpoints:
+    """solve_with_checkpoints: chunked BA solve with snapshots after every
+    chunk; killing and resuming continues from the latest snapshot and
+    reaches the same optimum (SURVEY 5.3-5.4)."""
+
+    def _setup(self):
+        from libwave_tpu.optim import (
+            BAConfig, BAState, ba_from_dataset, solve_ba,
+        )
+        from libwave_tpu.sim import VoSimParams, generate_vo_dataset
+        from libwave_tpu.geometry import so3
+
+        ds = generate_vo_dataset(
+            VoSimParams(nb_landmarks=40, steps=100, fx=200.0, fy=200.0,
+                        hz=10.0),
+            jax.random.key(31),
+        )
+        problem, gt = ba_from_dataset(ds)
+        ks = jax.random.split(jax.random.key(32), 3)
+        N, M = gt.q.shape[0], gt.lm.shape[0]
+        free = jnp.asarray(np.asarray(problem.free_pose))[:, None]
+        init = BAState(
+            q=so3.quat_boxplus(
+                gt.q, 0.02 * jax.random.normal(ks[0], (N, 3), gt.p.dtype)
+                * free
+            ),
+            p=gt.p + 0.05 * jax.random.normal(ks[1], (N, 3), gt.p.dtype)
+            * free,
+            lm=gt.lm + 0.2 * jax.random.normal(ks[2], (M, 3), gt.p.dtype),
+        )
+
+        def solve_chunk(state, carry, n):
+            lam = carry[0] if carry is not None else jnp.asarray(
+                1e-4, state.p.dtype
+            )
+            cfg = BAConfig(
+                max_iterations=n, cg_max_iters=40,
+                init_lambda=float(lam),
+            )
+            state, info = jax.jit(
+                lambda pr, st: solve_ba(pr, st, cfg)
+            )(problem, state)
+            return state, (info["final_lambda"],)
+
+        return problem, init, solve_chunk
+
+    def test_chunked_solve_and_resume(self, tmp_path):
+        problem, init, solve_chunk = self._setup()
+        d = str(tmp_path / "ckpts")
+
+        # run the first 6 of 12 iterations, then "crash"
+        s_mid, carry_mid, start = checkpoint.solve_with_checkpoints(
+            solve_chunk, init, total_iterations=6, directory=d, every=3
+        )
+        assert start == 0
+        assert len(os.listdir(d)) == 2  # snapshots at 3 and 6
+
+        # resume: picks up at iteration 6 and finishes
+        s_end, carry_end, start2 = checkpoint.solve_with_checkpoints(
+            solve_chunk, init, total_iterations=12, directory=d, every=3
+        )
+        assert start2 == 6
+        assert len(os.listdir(d)) == 4
+
+        # uninterrupted reference run
+        import shutil
+        shutil.rmtree(d)
+        s_ref, _, _ = checkpoint.solve_with_checkpoints(
+            solve_chunk, init, total_iterations=12, directory=d, every=3,
+            resume=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_end.p), np.asarray(s_ref.p), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_end.lm), np.asarray(s_ref.lm), atol=1e-10
+        )
