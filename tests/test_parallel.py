@@ -284,3 +284,29 @@ class TestMultiHost:
             float(info["final_cost"]), float(local_info["final_cost"]),
             rtol=1e-5, atol=1e-14,
         )
+
+
+class TestRealisticScaleSharded:
+    """Sharded solve at benchmark scale (the bench.py 10k-landmark problem)
+    on the virtual 8-device mesh: multichip evidence beyond toy shapes."""
+
+    def test_bench_problem_sharded(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import bench
+
+        problem, state = bench.make_problem(
+            num_poses=200, num_landmarks=10_000, obs_per_pose=300
+        )
+        cfg = BAConfig(
+            max_iterations=2, cg_max_iters=15, solver="pcg",
+            relative_decrease_tol=0.0, absolute_decrease_tol=0.0,
+        )
+        mesh = make_mesh(MeshConfig(dp=8, tp=1))
+        stacked, padded = partition_ba_problem(problem, state, 8)
+        dstate, dinfo = solve_ba_sharded(stacked, padded, mesh, cfg)
+        costs = np.asarray(dinfo["costs"])
+        assert np.isfinite(costs).all()
+        assert costs[-1] < float(dinfo["initial_cost"])
+        # every device holds a 25-pose ELL block of the 60k-slot bank
+        assert stacked.pose_idx.shape[0] == 8
