@@ -100,6 +100,15 @@ class BAConfig:
     solver: str = "auto"
     dense_max_pose_dim: int = 4096  # N*D cap for the dense path
     dense_max_g_bytes: float = 1.5e9  # cap on the (N*Dj, 3M) scatter
+    # "auto" additionally requires M <= this before picking dense: the
+    # dense path's per-iteration cost is dominated by the (N*Dj, 3M)
+    # matmul and the N*M scatter, both linear in M, while PCG's cost
+    # tracks the observation count only. Measured on v5e at 10k landmarks
+    # / 60k observations, dense is ~2x slower per iteration *and* its f32
+    # (N*D)^2 Cholesky conditions worse than matrix-free PCG — so auto
+    # reserves dense for the small-M regime (VIO keyframe windows, stiff
+    # chain-coupled graphs) where serial CG sweeps are the bottleneck.
+    dense_max_landmarks: int = 1500
 
     def validate(self):
         if self.max_iterations <= 0:
@@ -124,7 +133,7 @@ def _use_dense_schur(cfg, N, D, Dj, M, itemsize, axis_name):
                 f"{g_bytes:.2e} exceed the configured caps"
             )
         return True
-    return fits
+    return fits and M <= getattr(cfg, "dense_max_landmarks", 1500)
 
 
 # Penalty charged per cheirality-violated observation: without it, a step

@@ -105,6 +105,8 @@ class VIOConfig:
     solver: str = "auto"
     dense_max_pose_dim: int = 4096
     dense_max_g_bytes: float = 1.5e9
+    # auto-only landmark cap (see optim.ba.BAConfig.dense_max_landmarks)
+    dense_max_landmarks: int = 1500
 
 
 def _imu_linearize(problem: VIOProblem, state: VIOState,
