@@ -324,6 +324,22 @@ class TestDenseSchurSolver:
         assert int(np.asarray(i_d["cg_iterations"]).max()) == 0
         assert int(np.asarray(i_pcg["cg_iterations"]).max()) > 0
 
+    def test_auto_gate_prefers_pcg_at_large_m(self):
+        """auto must route large landmark counts to PCG: at 10k landmarks
+        the dense path measured ~2x slower per LM iteration on v5e and its
+        f32 Cholesky conditions worse than matrix-free PCG."""
+        from libwave_tpu.optim.ba import _use_dense_schur
+
+        cfg = BAConfig()
+        assert _use_dense_schur(cfg, 200, 6, 6, 120, 4, None)
+        assert not _use_dense_schur(cfg, 200, 6, 6, 10_000, 4, None)
+        # sharded mode never uses dense (S couples poses across devices)
+        assert not _use_dense_schur(cfg, 200, 6, 6, 120, 4, "dp")
+        # explicit request ignores the auto-only landmark cap
+        assert _use_dense_schur(
+            BAConfig(solver="dense"), 200, 6, 6, 10_000, 4, None
+        )
+
     def test_dense_cap_raises(self, dataset):
         problem, gt = ba_from_dataset(dataset)
         with pytest.raises(ValueError, match="dense"):
