@@ -484,6 +484,58 @@ def ba_flops_accounting(problem, state, iters, device_rate, cg_iters=20):
     }
 
 
+def bench_dist(device_rate):
+    """Config 5: distributed BA + pose graph. Functional timing/parity runs
+    in a subprocess on the virtual 8-device CPU mesh (this process is pinned
+    to the single-chip tunnel; XLA device-count flags only apply before
+    backend init). Chip-count scaling is *predicted* analytically from
+    collective traffic vs ICI bandwidth — the honest option with one real
+    chip; the virtual mesh's wall clock oversubscribes 2 host cores and
+    would misreport scaling."""
+    import os
+    import subprocess
+
+    out = {}
+    env = dict(os.environ)
+    env.update(
+        PYTHONPATH="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    res = subprocess.run(
+        [sys.executable, "scripts/bench_dist.py"],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    if res.returncode != 0:
+        _log(f"bench_dist subprocess failed:\n{res.stderr[-2000:]}")
+    else:
+        out.update(json.loads(res.stdout.strip().splitlines()[-1]))
+
+    # Analytic ICI model for the headline problem (10k lm / 200 poses /
+    # 20 CG iters). Per CG matvec the sharded ELL solve moves:
+    #   psum of the (3, M) landmark partials  (ring all-reduce: 2(n-1)/n)
+    #   all_gather of the (6, Nb) pose block  ((n-1)/n)
+    # plus per-iteration assembly reductions ((6+3, M) psum, Hpp/bp gather).
+    M, N, D, cg = 10_000, 200, 6, 20
+    n = 8  # chips in a v5e slice ring
+    f = 4  # f32 bytes
+    per_matvec = 2 * (n - 1) / n * 3 * M * f + (n - 1) / n * D * N * f
+    per_iter = cg * per_matvec + 2 * (n - 1) / n * 9 * M * f \
+        + (n - 1) / n * (D * D + D) * N * f
+    ici_bps = 45e9  # v5e per-link ICI, one ring direction (conservative)
+    comm_s = per_iter / ici_bps
+    # compute time per LM iteration from the measured single-chip rate
+    compute_s = 1.0 / device_rate
+    eff = compute_s / (compute_s + comm_s)
+    out.update(
+        {
+            "dist_ici_bytes_per_lm_iter": float(per_iter),
+            "dist_predicted_scaling_eff_8chip": round(eff, 4),
+        }
+    )
+    return out
+
+
 def bench_ba_large():
     """Scaling point: 100k landmarks / ~10x the observations. If iter/s
     drops much less than 10x vs the headline, the 10k-landmark solve is
@@ -513,6 +565,7 @@ def main():
     extras = {}
     for name, fn, args in (
         ("flops", ba_flops_accounting, (problem, state, 10, device_rate)),
+        ("dist", bench_dist, (device_rate,)),
         ("ba_large", bench_ba_large, ()),
         ("frontend", bench_frontend, ()),
         ("icp", bench_icp, ()),
