@@ -97,7 +97,16 @@ class BAConfig:
     # Ceres DENSE_SCHUR analog, one MXU matmul instead of serial CG
     # sweeps), or "auto" (dense when the problem fits the memory/size
     # gates below, else pcg).
-    solver: str = "auto"
+    #
+    # BA defaults to PCG: on the KITTI drive_0036 parity problem the exact
+    # dense solve converges to a *worse* minimum (final cost 1.46e9 vs
+    # 1.34e9, max pose error 3.9 m vs 1.6 m mean) — truncated CG steps act
+    # as implicit trust-region regularization on nonconvex inits, the same
+    # reason the reference runs iterative Schur (ba.cpp:49-52). Dense stays
+    # the default-auto choice for VIO (pipelines.vio.VIOConfig), where the
+    # stiff IMU chain makes block-Jacobi PCG propagate corrections only
+    # ~one keyframe per iteration.
+    solver: str = "pcg"
     dense_max_pose_dim: int = 4096  # N*D cap for the dense path
     dense_max_g_bytes: float = 1.5e9  # cap on the (N*Dj, 3M) scatter
     # "auto" additionally requires M <= this before picking dense: the

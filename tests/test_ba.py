@@ -330,7 +330,10 @@ class TestDenseSchurSolver:
         f32 Cholesky conditions worse than matrix-free PCG."""
         from libwave_tpu.optim.ba import _use_dense_schur
 
-        cfg = BAConfig()
+        # BA defaults to pcg outright (KITTI: exact dense steps converge
+        # to a worse minimum on nonconvex inits)
+        assert not _use_dense_schur(BAConfig(), 200, 6, 6, 120, 4, None)
+        cfg = BAConfig(solver="auto")
         assert _use_dense_schur(cfg, 200, 6, 6, 120, 4, None)
         assert not _use_dense_schur(cfg, 200, 6, 6, 10_000, 4, None)
         # sharded mode never uses dense (S couples poses across devices)
