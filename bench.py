@@ -440,6 +440,47 @@ def bench_vio():
     return out
 
 
+def bench_euroc():
+    """North-star metric: ATE RMSE of the full VIO pipeline on the
+    MH_01-like synthetic EuRoC sequence (200 Hz IMU + 5 Hz camera tracks
+    with outliers, ASL directory format), plus solve throughput."""
+    import tempfile
+
+    import jax
+
+    from libwave_tpu.pipelines import VIOConfig, solve_vio
+    from libwave_tpu.pipelines.euroc_vio import (
+        EurocVIOParams,
+        build_euroc_vio_problem,
+    )
+    from libwave_tpu.sim import EurocSimParams, generate_euroc_sequence
+
+    sim = EurocSimParams(duration=16.0, nb_landmarks=200)
+    with tempfile.TemporaryDirectory() as root:
+        generate_euroc_sequence(root, sim, seed=3)
+        params = EurocVIOParams()
+        problem, init, gt_traj, kf_times = build_euroc_vio_problem(
+            root, params
+        )
+    cfg = VIOConfig(
+        max_iterations=25, cg_max_iters=150, huber_delta=params.huber_delta
+    )
+    f = jax.jit(lambda pr, st: solve_vio(pr, st, cfg))
+    dt, (state, info) = _time_fn(f, problem, init)
+
+    from libwave_tpu.benchmark import Trajectory, absolute_trajectory_error
+    from libwave_tpu.geometry.se3 import SE3
+
+    est = Trajectory(times=kf_times, poses=SE3(q=state.q, t=state.p))
+    ate, _ = absolute_trajectory_error(gt_traj, est)
+    N = int(state.q.shape[0])
+    return {
+        "euroc_ate_rmse_m": round(float(ate), 4),
+        "euroc_solve_keyframes_per_s": round(N / dt, 2),
+        "euroc_keyframes": N,
+    }
+
+
 # v5e peaks: the "speed-of-light" denominators. The solve runs f32 VPU/
 # gather-heavy math, so the bf16 MXU peak is a strict upper bound; the HBM
 # roofline is the realistic ceiling for this access pattern.
@@ -570,6 +611,7 @@ def main():
         ("frontend", bench_frontend, ()),
         ("icp", bench_icp, ()),
         ("vio", bench_vio, ()),
+        ("euroc", bench_euroc, ()),
     ):
         t0 = time.time()
         try:

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from libwave_tpu.geometry import se3
 from libwave_tpu.geometry.se3 import SE3
 
+from libwave_tpu.utils.precision import f32_matmuls
+
 
 class PoseWithCovariance(NamedTuple):
     """Pose with 6x6 tangent-space covariance (right perturbation)."""
@@ -45,6 +47,7 @@ class PoseWithCovariance(NamedTuple):
         )
 
 
+@f32_matmuls
 def compose_pose_with_covariance(
     p1: PoseWithCovariance, p2: PoseWithCovariance
 ) -> PoseWithCovariance:
@@ -57,6 +60,7 @@ def compose_pose_with_covariance(
     return PoseWithCovariance(pose=T, cov=cov)
 
 
+@f32_matmuls
 def transform_point_with_covariance(
     p: PoseWithCovariance, x: jnp.ndarray, x_cov: jnp.ndarray | None = None
 ):

@@ -28,6 +28,8 @@ from libwave_tpu.matching.loop import converged_scan
 from libwave_tpu.matching.pointcloud import PointCloud, voxel_downsample
 from libwave_tpu.utils.config import ConfigError
 
+from libwave_tpu.utils.precision import f32_matmuls
+
 
 @dataclasses.dataclass(frozen=True)
 class GICPParams:
@@ -74,6 +76,7 @@ class GICPResult(NamedTuple):
     iterations: jnp.ndarray
 
 
+@f32_matmuls
 def gicp_match(ref: PointCloud, target: PointCloud,
                params: GICPParams = GICPParams(),
                init: SE3 | None = None) -> GICPResult:

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from libwave_tpu.matching.pointcloud import PointCloud
 from libwave_tpu.utils.config import ConfigError
 
+from libwave_tpu.utils.precision import f32_matmuls
+
 _BIG = 1e8
 
 # point labels
@@ -79,6 +81,7 @@ def _sq_exp(r1, r2, p_sf, p_l):
     return p_sf * jnp.exp(-(d * d) / (2.0 * p_l * p_l))
 
 
+@f32_matmuls
 def segment_ground(cloud: PointCloud,
                    params: GroundSegmentationParams = GroundSegmentationParams()
                    ) -> GroundSegmentationResult:

@@ -40,6 +40,8 @@ from libwave_tpu.matching.loop import converged_scan
 from libwave_tpu.matching.pointcloud import PointCloud, voxel_downsample
 from libwave_tpu.utils.config import ConfigError
 
+from libwave_tpu.utils.precision import f32_matmuls
+
 
 @dataclasses.dataclass(frozen=True)
 class ICPParams:
@@ -116,6 +118,7 @@ def _icp_single_scale(ref: PointCloud, target: PointCloud, T0: SE3,
     return T, iters, idx, valid
 
 
+@f32_matmuls
 def icp_match(ref: PointCloud, target: PointCloud,
               params: ICPParams = ICPParams(),
               init: SE3 | None = None) -> ICPResult:
@@ -167,6 +170,7 @@ def icp_match(ref: PointCloud, target: PointCloud,
 # ---------------------------------------------------------------------------
 
 
+@f32_matmuls
 def estimate_info_lum(result: ICPResult) -> jnp.ndarray:
     """Lu-Milios edge information from final correspondences
     (estimateLUM, icp_pcl_functions.cpp:182): M'M assembled from
@@ -242,6 +246,7 @@ def _spherical_jacobian(p):
     return J
 
 
+@f32_matmuls
 def estimate_info_censi(result: ICPResult, params: ICPParams) -> jnp.ndarray:
     """Censi/Haralick ICP covariance (estimateCensi, icp.cpp:167-396):
 

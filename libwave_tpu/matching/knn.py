@@ -14,9 +14,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from libwave_tpu.utils.precision import f32_matmuls
+
 _INF = jnp.float32(jnp.inf)
 
 
+@f32_matmuls
 def nearest_neighbor(query, query_mask, target, target_mask, chunk: int = 2048):
     """For each query point, index + squared distance of its nearest valid
     target point. Returns (idx (N,), dist2 (N,)); masked queries get idx 0
@@ -54,6 +57,7 @@ def nearest_neighbor(query, query_mask, target, target_mask, chunk: int = 2048):
     return best_i, jnp.maximum(best_d, 0.0)
 
 
+@f32_matmuls
 def knn(query, query_mask, target, target_mask, k: int, chunk: int = 2048):
     """k nearest valid targets per query. Returns (idx (N, k), dist2 (N, k)).
 

@@ -27,6 +27,8 @@ from libwave_tpu.matching.loop import converged_scan
 from libwave_tpu.matching.pointcloud import PointCloud, _voxel_hash
 from libwave_tpu.utils.config import ConfigError
 
+from libwave_tpu.utils.precision import f32_matmuls
+
 _MIN_RES = 0.05  # ndt.hpp floor
 
 
@@ -122,6 +124,7 @@ class NDTResult(NamedTuple):
     information: jnp.ndarray  # (6, 6) — identity, ndt.hpp default
 
 
+@f32_matmuls
 def ndt_match(ref: PointCloud, target: PointCloud,
               params: NDTParams = NDTParams(),
               init: SE3 | None = None) -> NDTResult:

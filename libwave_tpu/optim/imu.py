@@ -24,6 +24,8 @@ import jax.numpy as jnp
 
 from libwave_tpu.geometry import so3
 
+from libwave_tpu.utils.precision import f32_matmuls
+
 GRAVITY = jnp.asarray([0.0, 0.0, -9.81])
 
 
@@ -45,6 +47,7 @@ class PreintegratedImu(NamedTuple):
     ba_ref: jnp.ndarray  # (3,) accel bias used during integration
 
 
+@f32_matmuls
 def preintegrate_imu(
     gyro: jnp.ndarray,  # (N, 3) rad/s
     accel: jnp.ndarray,  # (N, 3) m/s^2 (body frame, includes -gravity)
@@ -163,6 +166,7 @@ def imu_residual(
     return jnp.concatenate([r_R, r_v, r_p])
 
 
+@f32_matmuls
 def imu_sqrt_info(pim: PreintegratedImu) -> jnp.ndarray:
     """Whitening matrix: inverse Cholesky factor of the preintegration
     covariance (L^-1 with cov = L L^T), so r_white = sqrt_info @ r."""

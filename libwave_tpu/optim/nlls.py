@@ -27,6 +27,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from libwave_tpu.utils.precision import f32_matmuls
+
 __all__ = ["LMConfig", "LMResult", "lm_solve", "curve_fit",
            "numeric_jacobian", "exp_curve_residual"]
 
@@ -73,6 +75,7 @@ def numeric_jacobian(residual_fn: Callable, eps: float = 1e-6) -> Callable:
     return jac
 
 
+@f32_matmuls
 def lm_solve(
     residual_fn: Callable,
     x0,

@@ -267,9 +267,11 @@ def solve_pose_graph(
         cost = pose_graph_cost(q_new, p_new, between, priors)
         return (q_new, p_new), cost
 
-    (q, p), trace = jax.lax.scan(
-        gn_step, (q, p), None, length=cfg.max_iterations
-    )
+    # f32 accumulation on TPU matmuls (bf16 default degrades GN steps)
+    with jax.default_matmul_precision("highest"):
+        (q, p), trace = jax.lax.scan(
+            gn_step, (q, p), None, length=cfg.max_iterations
+        )
     return q, p, {"cost_trace": trace, "final_cost": trace[-1]}
 
 

@@ -292,9 +292,10 @@ def distributed_lm_step(problem: BAProblem, state: BAState, cfg: BAConfig,
         lam = jnp.asarray(damping, dtype=state.p.dtype)
         from libwave_tpu.optim.ba import ba_cost
 
-        cost = ba_cost(problem, state)
-        carry = (state, lam, cost, jnp.asarray(False))
-        carry, _ = _lm_iteration(problem, cfg, carry, None)
+        with jax.default_matmul_precision("highest"):
+            cost = ba_cost(problem, state)
+            carry = (state, lam, cost, jnp.asarray(False))
+            carry, _ = _lm_iteration(problem, cfg, carry, None)
         new_state, _, new_cost, _ = carry
         return new_state, new_cost
 

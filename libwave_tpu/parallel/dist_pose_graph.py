@@ -511,7 +511,9 @@ def solve_pose_graph_blocks(
             in_specs=(in_specs,), out_specs=(spec_b, spec_b, P()),
         )
     )
-    q, p, trace = mapped(g)
+    # f32 accumulation on TPU matmuls (bf16 default degrades GN steps)
+    with jax.default_matmul_precision("highest"):
+        q, p, trace = mapped(g)
     return q, p, {"cost_trace": trace, "final_cost": trace[-1]}
 
 

@@ -222,11 +222,17 @@ def build_euroc_vio_problem(root: str,
     )
     state0 = state0._replace(lm=jnp.asarray(lm_init))
 
+    # Times go on device sequence-relative: EuRoC ASL stamps are epoch
+    # seconds (~1.4e9) whose f32 resolution is 128 s — under the TPU's
+    # default f32 they would all collapse to one value and every
+    # interpolation/association in the evaluation would silently break.
+    t0 = float(cam_times[0])
     gt_traj = Trajectory(
-        times=jnp.asarray(gt.times),
+        times=jnp.asarray(np.asarray(gt.times, np.float64) - t0),
         poses=SE3(q=jnp.asarray(gt.q), t=jnp.asarray(gt.p)),
     )
-    return problem, state0, gt_traj, jnp.asarray(cam_times)
+    kf_rel = jnp.asarray(np.asarray(cam_times, np.float64) - t0)
+    return problem, state0, gt_traj, kf_rel
 
 
 def run_euroc_vio(root: str, params: EurocVIOParams = EurocVIOParams(),

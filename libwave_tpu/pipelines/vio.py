@@ -365,12 +365,14 @@ def solve_vio(problem: VIOProblem, state: VIOState,
     """Run the full VIO LM optimization (jit-able). ``axis_name``: sharded
     ELL mode inside shard_map — see
     :func:`libwave_tpu.parallel.dist_vio.solve_vio_sharded`."""
-    cost0 = vio_cost(problem, state, axis_name, cfg.huber_delta)
-    carry = (state, jnp.asarray(cfg.init_lambda, state.p.dtype), cost0)
-    carry, (costs, accepts, cg_iters) = jax.lax.scan(
-        lambda c, x: _vio_iteration(problem, cfg, c, x, axis_name),
-        carry, None, length=cfg.max_iterations,
-    )
+    # f32 accumulation on TPU matmuls (bf16 default degrades LM steps)
+    with jax.default_matmul_precision("highest"):
+        cost0 = vio_cost(problem, state, axis_name, cfg.huber_delta)
+        carry = (state, jnp.asarray(cfg.init_lambda, state.p.dtype), cost0)
+        carry, (costs, accepts, cg_iters) = jax.lax.scan(
+            lambda c, x: _vio_iteration(problem, cfg, c, x, axis_name),
+            carry, None, length=cfg.max_iterations,
+        )
     state, lam, cost = carry
     return state, {
         "initial_cost": cost0,

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 
 from libwave_tpu.geometry.se3 import SE3
 
+from libwave_tpu.utils.precision import f32_matmuls
+
 __all__ = [
     "essential_from_fundamental",
     "decompose_essential",
@@ -34,6 +36,7 @@ __all__ = [
 ]
 
 
+@f32_matmuls
 def essential_from_fundamental(F, K1, K2=None):
     """E = K2ᵀ F K1, projected onto the essential manifold (two equal
     singular values, third zero)."""
@@ -45,6 +48,7 @@ def essential_from_fundamental(F, K1, K2=None):
     return U @ jnp.diag(jnp.asarray([sbar, sbar, 0.0], E.dtype)) @ Vt
 
 
+@f32_matmuls
 def decompose_essential(E):
     """The four relative-pose candidates of an essential matrix.
 
@@ -64,6 +68,7 @@ def decompose_essential(E):
     return Rs, ts
 
 
+@f32_matmuls
 def triangulate(R, t, x1, x2):
     """Linear triangulation in normalized coordinates.
 
@@ -97,6 +102,7 @@ def triangulate(R, t, x1, x2):
     return jax.vmap(one)(x1, x2)
 
 
+@f32_matmuls
 def recover_pose(E, p1, p2, K, valid):
     """Select the cheirality-consistent (R, t) from an essential matrix.
 

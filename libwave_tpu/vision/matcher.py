@@ -31,6 +31,8 @@ import numpy as np
 
 from libwave_tpu.utils.config import ConfigError
 
+from libwave_tpu.utils.precision import f32_matmuls
+
 _BIG = jnp.int32(1 << 24)
 
 
@@ -168,6 +170,7 @@ def _sampson_distance(F, p1, p2):
     return num / (den + 1e-12)
 
 
+@f32_matmuls
 def find_fundamental_ransac(
     p1: jnp.ndarray,
     p2: jnp.ndarray,
