@@ -50,6 +50,29 @@ class TestLoaders:
         assert tracks[:, 0].max() == n_frames - 1
 
 
+class TestDeviceTimeSafety:
+    def test_times_are_sequence_relative(self, seq_dir):
+        """Device arrays must carry sequence-relative times: EuRoC epoch
+        stamps (~1.4e9 s) have 128 s f32 resolution and collapse to a
+        single value on TPU (f32 default), silently breaking every
+        time association in the evaluation."""
+        from libwave_tpu.pipelines.euroc_vio import (
+            EurocVIOParams,
+            build_euroc_vio_problem,
+        )
+
+        _, _, gt_traj, kf_times = build_euroc_vio_problem(
+            seq_dir, EurocVIOParams()
+        )
+        kt = np.asarray(kf_times)
+        gt = np.asarray(gt_traj.times)
+        assert kt[0] == 0.0
+        # small enough that f32 keeps sub-millisecond resolution
+        assert float(max(kt.max(), np.abs(gt).max())) < 1e5
+        # spacing survives an f32 round-trip
+        assert np.all(np.diff(kt.astype(np.float32)) > 0)
+
+
 @pytest.mark.slow
 class TestEndToEnd:
     def test_vio_ate_bound(self, seq_dir):
