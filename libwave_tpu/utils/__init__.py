@@ -28,3 +28,10 @@ from libwave_tpu.utils.file import (  # noqa: F401
     paths_combine,
     remove_dir,
 )
+from libwave_tpu.utils.precision import f32_matmuls  # noqa: F401
+from libwave_tpu.utils.checkpoint import (  # noqa: F401
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+    solve_with_checkpoints,
+)
