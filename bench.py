@@ -448,10 +448,11 @@ def bench_euroc():
 
     import jax
 
-    from libwave_tpu.pipelines import VIOConfig, solve_vio
+    from libwave_tpu.pipelines import solve_vio
     from libwave_tpu.pipelines.euroc_vio import (
         EurocVIOParams,
         build_euroc_vio_problem,
+        default_vio_config,
     )
     from libwave_tpu.sim import EurocSimParams, generate_euroc_sequence
 
@@ -462,9 +463,7 @@ def bench_euroc():
         problem, init, gt_traj, kf_times = build_euroc_vio_problem(
             root, params
         )
-    cfg = VIOConfig(
-        max_iterations=25, cg_max_iters=150, huber_delta=params.huber_delta
-    )
+    cfg = default_vio_config(params)  # measure the shipped pipeline config
     f = jax.jit(lambda pr, st: solve_vio(pr, st, cfg))
     dt, (state, info) = _time_fn(f, problem, init)
 
@@ -543,14 +542,16 @@ def bench_dist(device_rate):
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=8",
     )
+    here = os.path.dirname(os.path.abspath(__file__))
     res = subprocess.run(
-        [sys.executable, "scripts/bench_dist.py"],
-        env=env, capture_output=True, text=True, timeout=1200,
+        [sys.executable, os.path.join(here, "scripts", "bench_dist.py")],
+        env=env, capture_output=True, text=True, timeout=1200, cwd=here,
     )
-    if res.returncode != 0:
+    lines = res.stdout.strip().splitlines()
+    if res.returncode != 0 or not lines:
         _log(f"bench_dist subprocess failed:\n{res.stderr[-2000:]}")
     else:
-        out.update(json.loads(res.stdout.strip().splitlines()[-1]))
+        out.update(json.loads(lines[-1]))
 
     # Analytic ICI model for the headline problem (10k lm / 200 poses /
     # 20 CG iters). Per CG matvec the sharded ELL solve moves:
@@ -565,9 +566,10 @@ def bench_dist(device_rate):
         + (n - 1) / n * (D * D + D) * N * f
     ici_bps = 45e9  # v5e per-link ICI, one ring direction (conservative)
     comm_s = per_iter / ici_bps
-    # compute time per LM iteration from the measured single-chip rate
+    # strong scaling of the fixed headline problem: per-chip compute is
+    # compute_s / n, so efficiency = speedup/n = compute/(compute + n*comm)
     compute_s = 1.0 / device_rate
-    eff = compute_s / (compute_s + comm_s)
+    eff = compute_s / (compute_s + n * comm_s)
     out.update(
         {
             "dist_ici_bytes_per_lm_iter": float(per_iter),

@@ -31,6 +31,7 @@ from libwave_tpu.optim.reprojection import (
     reprojection_residual_cm,
     reprojection_residual_ell,
 )
+from libwave_tpu.utils.precision import f32_matmuls
 
 
 class BAProblem(NamedTuple):
@@ -314,6 +315,10 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _,
     return (state, lam, cost, converged), (cost, accept, cg_iterations)
 
 
+# TPU matmuls default to bf16 passes - solver-grade numerics (normal
+# equations, CG dot products, Cholesky factors) need full f32 accumulation
+# or LM steps silently degrade on device.
+@f32_matmuls
 def solve_ba(problem: BAProblem, state: BAState, cfg: BAConfig = BAConfig(),
              axis_name: str | None = None):
     """Run LM to convergence budget. Returns (state, info dict of arrays).
@@ -325,18 +330,14 @@ def solve_ba(problem: BAProblem, state: BAState, cfg: BAConfig = BAConfig(),
     one contiguous pose block of observations.
     """
     lam0 = jnp.asarray(cfg.init_lambda, dtype=state.p.dtype)
-    # TPU matmuls default to bf16 passes — solver-grade numerics (normal
-    # equations, CG dot products, Cholesky factors) need full f32
-    # accumulation or LM steps silently degrade on device.
-    with jax.default_matmul_precision("highest"):
-        cost0 = ba_cost(problem, state, cfg.huber_delta, axis_name)
-        carry = (state, lam0, cost0, jnp.asarray(False))
-        carry, (costs, accepts, cg_iters) = jax.lax.scan(
-            lambda c, x: _lm_iteration(problem, cfg, c, x, axis_name),
-            carry,
-            None,
-            length=cfg.max_iterations,
-        )
+    cost0 = ba_cost(problem, state, cfg.huber_delta, axis_name)
+    carry = (state, lam0, cost0, jnp.asarray(False))
+    carry, (costs, accepts, cg_iters) = jax.lax.scan(
+        lambda c, x: _lm_iteration(problem, cfg, c, x, axis_name),
+        carry,
+        None,
+        length=cfg.max_iterations,
+    )
     state, lam, cost, _ = carry
     info = {
         "initial_cost": cost0,

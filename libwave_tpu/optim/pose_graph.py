@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from libwave_tpu.geometry import so3
+from libwave_tpu.utils.precision import f32_matmuls
 
 
 class BetweenBank(NamedTuple):
@@ -150,6 +151,7 @@ def _scatter6(i, j, Ji, Jj, y, n):
     return out + jax.ops.segment_sum(tj, j, num_segments=n)
 
 
+@f32_matmuls
 def solve_pose_graph(
     q,
     p,
@@ -267,11 +269,9 @@ def solve_pose_graph(
         cost = pose_graph_cost(q_new, p_new, between, priors)
         return (q_new, p_new), cost
 
-    # f32 accumulation on TPU matmuls (bf16 default degrades GN steps)
-    with jax.default_matmul_precision("highest"):
-        (q, p), trace = jax.lax.scan(
-            gn_step, (q, p), None, length=cfg.max_iterations
-        )
+    (q, p), trace = jax.lax.scan(
+        gn_step, (q, p), None, length=cfg.max_iterations
+    )
     return q, p, {"cost_trace": trace, "final_cost": trace[-1]}
 
 

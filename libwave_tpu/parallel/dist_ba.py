@@ -46,6 +46,7 @@ from libwave_tpu.optim.ba import (
     _lm_iteration,
     solve_ba,
 )
+from libwave_tpu.utils.precision import f32_matmuls
 
 
 def _pad_axis(x, multiple, fill=0):
@@ -282,6 +283,7 @@ def solve_ba_sharded(
     return mapped(stacked, state)
 
 
+@f32_matmuls
 def distributed_lm_step(problem: BAProblem, state: BAState, cfg: BAConfig,
                         damping: float = 1e-4):
     """One jit-compiled LM iteration with GSPMD sharding propagated from the
@@ -292,10 +294,9 @@ def distributed_lm_step(problem: BAProblem, state: BAState, cfg: BAConfig,
         lam = jnp.asarray(damping, dtype=state.p.dtype)
         from libwave_tpu.optim.ba import ba_cost
 
-        with jax.default_matmul_precision("highest"):
-            cost = ba_cost(problem, state)
-            carry = (state, lam, cost, jnp.asarray(False))
-            carry, _ = _lm_iteration(problem, cfg, carry, None)
+        cost = ba_cost(problem, state)
+        carry = (state, lam, cost, jnp.asarray(False))
+        carry, _ = _lm_iteration(problem, cfg, carry, None)
         new_state, _, new_cost, _ = carry
         return new_state, new_cost
 

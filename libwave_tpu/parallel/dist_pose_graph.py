@@ -48,6 +48,7 @@ from libwave_tpu.optim.pose_graph import (
     _between_residual,
     _prior_residual,
 )
+from libwave_tpu.utils.precision import f32_matmuls
 
 
 class BlockPoseGraph(NamedTuple):
@@ -267,6 +268,7 @@ def _sep_return(acc, g: BlockPoseGraph, x_shape_nb, axis_name):
     return out.at[g.sep_local].add(total * mine[:, None])
 
 
+@f32_matmuls
 def solve_pose_graph_blocks(
     g: BlockPoseGraph,
     mesh: Mesh,
@@ -278,6 +280,10 @@ def solve_pose_graph_blocks(
     Returns block-shaped (q, p, info) with the same values (to float
     tolerance) as ``optim.pose_graph.solve_pose_graph`` on the unpartitioned
     problem.
+
+    Each call builds a fresh ``jit(shard_map(...))`` closure, so repeated
+    calls re-trace; wrap the call in an outer ``jax.jit`` to cache the
+    compiled executable across solves.
 
     The number of blocks must equal the mesh's device count: shard_map hands
     each device exactly one block and the halo neighbors are block-adjacent
@@ -511,9 +517,7 @@ def solve_pose_graph_blocks(
             in_specs=(in_specs,), out_specs=(spec_b, spec_b, P()),
         )
     )
-    # f32 accumulation on TPU matmuls (bf16 default degrades GN steps)
-    with jax.default_matmul_precision("highest"):
-        q, p, trace = mapped(g)
+    q, p, trace = mapped(g)
     return q, p, {"cost_trace": trace, "final_cost": trace[-1]}
 
 

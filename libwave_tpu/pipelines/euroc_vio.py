@@ -235,6 +235,23 @@ def build_euroc_vio_problem(root: str,
     return problem, state0, gt_traj, kf_rel
 
 
+def default_vio_config(params: EurocVIOParams) -> VIOConfig:
+    """The pipeline's default solver configuration (single source of truth
+    — bench.py measures exactly this config).
+
+    The auto solver picks the dense Schur path at EuRoC window sizes
+    (N*15 in the hundreds): exact LM steps, where the stiff IMU chain
+    made block-Jacobi PCG propagate corrections ~one keyframe per
+    iteration (measured on the 12 s synthetic MH_01 analog:
+    ATE 0.075 m after 40 PCG-limited iterations vs 0.009 m after 20
+    dense iterations). cg_max_iters only applies past the size caps.
+    """
+    return VIOConfig(
+        max_iterations=25, cg_max_iters=150,
+        huber_delta=params.huber_delta,
+    )
+
+
 def run_euroc_vio(root: str, params: EurocVIOParams = EurocVIOParams(),
                   cfg: VIOConfig | None = None, K: np.ndarray | None = None):
     """Full pipeline: build -> solve -> ATE. Returns (state, report dict)."""
@@ -242,16 +259,7 @@ def run_euroc_vio(root: str, params: EurocVIOParams = EurocVIOParams(),
         root, params, K
     )
     if cfg is None:
-        # The auto solver picks the dense Schur path at EuRoC window sizes
-        # (N*15 in the hundreds): exact LM steps, where the stiff IMU chain
-        # made block-Jacobi PCG propagate corrections ~one keyframe per
-        # iteration (measured on the 12 s synthetic MH_01 analog:
-        # ATE 0.075 m after 40 PCG-limited iterations vs 0.009 m after 20
-        # dense iterations). cg_max_iters only applies past the size caps.
-        cfg = VIOConfig(
-            max_iterations=25, cg_max_iters=150,
-            huber_delta=params.huber_delta,
-        )
+        cfg = default_vio_config(params)
     state, info = jax.jit(
         lambda pr, st: solve_vio(pr, st, cfg)
     )(problem, init)

@@ -33,6 +33,7 @@ from libwave_tpu.optim.reprojection import (
     linearize_reprojection_ell,
     reprojection_residual_ell,
 )
+from libwave_tpu.utils.precision import f32_matmuls
 
 D = 15  # keyframe tangent dim: [pose(6), vel(3), bg(3), ba(3)]
 
@@ -359,20 +360,19 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
     return (state, lam, cost), (cost, accept, cg_iterations)
 
 
+@f32_matmuls
 def solve_vio(problem: VIOProblem, state: VIOState,
               cfg: VIOConfig = VIOConfig(),
               axis_name: str | None = None):
     """Run the full VIO LM optimization (jit-able). ``axis_name``: sharded
     ELL mode inside shard_map — see
     :func:`libwave_tpu.parallel.dist_vio.solve_vio_sharded`."""
-    # f32 accumulation on TPU matmuls (bf16 default degrades LM steps)
-    with jax.default_matmul_precision("highest"):
-        cost0 = vio_cost(problem, state, axis_name, cfg.huber_delta)
-        carry = (state, jnp.asarray(cfg.init_lambda, state.p.dtype), cost0)
-        carry, (costs, accepts, cg_iters) = jax.lax.scan(
-            lambda c, x: _vio_iteration(problem, cfg, c, x, axis_name),
-            carry, None, length=cfg.max_iterations,
-        )
+    cost0 = vio_cost(problem, state, axis_name, cfg.huber_delta)
+    carry = (state, jnp.asarray(cfg.init_lambda, state.p.dtype), cost0)
+    carry, (costs, accepts, cg_iters) = jax.lax.scan(
+        lambda c, x: _vio_iteration(problem, cfg, c, x, axis_name),
+        carry, None, length=cfg.max_iterations,
+    )
     state, lam, cost = carry
     return state, {
         "initial_cost": cost0,
