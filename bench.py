@@ -299,6 +299,19 @@ def bench_frontend():
     dt, good = _time_fn(f, a, b, key)
     out = {"frontend_pairs_per_s": round(1.0 / dt, 2),
            "frontend_good_matches": int(good)}
+
+    # the front-end is data-parallel over frames (SURVEY §2.8 DP): the
+    # production calling convention batches pairs with vmap, which hides
+    # the per-pair dispatch/occupancy gaps a single 480x640 pair leaves
+    B = 8
+    imgs1 = np.stack(
+        [_blob_image(np.random.default_rng(i)) for i in range(B)]
+    )
+    imgs2 = np.roll(imgs1, (0, 4, 7), axis=(0, 1, 2))
+    keys = jax.random.split(jax.random.key(0), B)
+    fb = jax.jit(jax.vmap(step))
+    dtb, _ = _time_fn(fb, jnp.asarray(imgs1), jnp.asarray(imgs2), keys)
+    out["frontend_batched8_pairs_per_s"] = round(B / dtb, 2)
     try:
         import dataclasses as _dc
 
