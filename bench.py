@@ -379,6 +379,9 @@ def bench_icp():
     f = jax.jit(lambda a, b: icp_match(a, b, params).transform.t)
     dt, t_est = _time_fn(f, ref, tgt)
     err = float(np.linalg.norm(np.asarray(t_est) - t_true))
+    # (batching pairs via matching.multi was measured SLOWER per pair here
+    # — the 4096-point kNN matmuls already fill the chip, unlike the small
+    # front-end images — so the single-pair rate is the honest number)
     return {
         "icp_scan_pairs_per_s": round(1.0 / dt, 2),
         "icp_translation_err_m": round(err, 4),
