@@ -102,11 +102,13 @@ class BAConfig:
     # BA defaults to PCG: on the KITTI drive_0036 parity problem the exact
     # dense solve converges to a *worse* minimum (final cost 1.46e9 vs
     # 1.34e9, max pose error 3.9 m vs 1.6 m mean) — truncated CG steps act
-    # as implicit trust-region regularization on nonconvex inits, the same
-    # reason the reference runs iterative Schur (ba.cpp:49-52). Dense stays
-    # the default-auto choice for VIO (pipelines.vio.VIOConfig), where the
-    # stiff IMU chain makes block-Jacobi PCG propagate corrections only
-    # ~one keyframe per iteration.
+    # as implicit trust-region regularization on nonconvex inits. (The
+    # reference itself runs exact SPARSE_SCHUR, ba.cpp:49; the measured
+    # KITTI convergence comparison above is what justifies the different
+    # default here.) Dense stays the default-auto choice for VIO
+    # (pipelines.vio.VIOConfig), where the stiff IMU chain makes
+    # block-Jacobi PCG propagate corrections only ~one keyframe per
+    # iteration.
     solver: str = "pcg"
     dense_max_pose_dim: int = 4096  # N*D cap for the dense path
     dense_max_g_bytes: float = 1.5e9  # cap on the (N*Dj, 3M) scatter
@@ -143,7 +145,7 @@ def _use_dense_schur(cfg, N, D, Dj, M, itemsize, axis_name):
                 f"{g_bytes:.2e} exceed the configured caps"
             )
         return True
-    return fits and M <= getattr(cfg, "dense_max_landmarks", 1500)
+    return fits and M <= cfg.dense_max_landmarks
 
 
 # Penalty charged per cheirality-violated observation: without it, a step

@@ -226,6 +226,9 @@ def solve_ba_sharded(
     same values as :func:`libwave_tpu.optim.ba.solve_ba` on the
     unpartitioned problem (the state is replicated; trim padding poses with
     ``state.q[:N]``).
+
+    The jit(shard_map) executable is cached on (mesh, axis_name, cfg,
+    problem structure) — repeated solves do not re-trace.
     """
     n_blocks = stacked.pose_idx.shape[0]
     n_dev = int(mesh.shape[axis_name])
@@ -235,6 +238,12 @@ def solve_ba_sharded(
             f"'{axis_name}' has {n_dev} devices; re-partition with "
             f"n_shards={n_dev}"
         )
+    cache_key = (
+        mesh, axis_name, cfg, jax.tree.structure((stacked, state))
+    )
+    mapped = _BA_SOLVER_CACHE.get(cache_key)
+    if mapped is not None:
+        return mapped(stacked, state)
 
     spec_b = P(axis_name)
     rep = P()
@@ -280,7 +289,14 @@ def solve_ba_sharded(
             check_vma=False,
         )
     )
+    _BA_SOLVER_CACHE[cache_key] = mapped
     return mapped(stacked, state)
+
+
+# jit(shard_map) closures keyed on (mesh, axis_name, cfg, tree structure):
+# rebuilding the closure per call would re-trace every solve (a measured 60x
+# penalty on the pose-graph analog); jit itself still specializes on shapes.
+_BA_SOLVER_CACHE: dict = {}
 
 
 @f32_matmuls

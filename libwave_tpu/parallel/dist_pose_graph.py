@@ -32,7 +32,7 @@ distributed pose-graph/BA literature mapped onto the TPU collective set.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -281,9 +281,9 @@ def solve_pose_graph_blocks(
     tolerance) as ``optim.pose_graph.solve_pose_graph`` on the unpartitioned
     problem.
 
-    Each call builds a fresh ``jit(shard_map(...))`` closure, so repeated
-    calls re-trace; wrap the call in an outer ``jax.jit`` to cache the
-    compiled executable across solves.
+    The compiled ``jit(shard_map(...))`` executable is cached on
+    (mesh, axis_name, cfg) — repeated solves with the same configuration hit
+    the cache instead of re-tracing (jit still specializes per block shape).
 
     The number of blocks must equal the mesh's device count: shard_map hands
     each device exactly one block and the halo neighbors are block-adjacent
@@ -297,9 +297,14 @@ def solve_pose_graph_blocks(
             "partition_pose_graph(n_blocks=...) must match the mesh size "
             "(one block per device — halo neighbors are device-adjacent)"
         )
-    nb = g.q.shape[1]
-    dtype = g.p.dtype
-    eye6 = jnp.eye(6, dtype=dtype)
+    mapped = _block_solver(mesh, axis_name, cfg)
+    q, p, trace = mapped(g)
+    return q, p, {"cost_trace": trace, "final_cost": trace[-1]}
+
+
+@lru_cache(maxsize=None)
+def _block_solver(mesh: Mesh, axis_name: str, cfg: PoseGraphConfig):
+    """Build (once per (mesh, axis_name, cfg)) the jit(shard_map) solver."""
     spec_b = P(axis_name)
 
     def local_solver(g):
@@ -308,6 +313,9 @@ def solve_pose_graph_blocks(
             sep_block=g.sep_block[None], sep_local=g.sep_local[None],
             sep_mask=g.sep_mask[None],
         ))
+        nb = g.q.shape[0]
+        dtype = g.p.dtype
+        eye6 = jnp.eye(6, dtype=dtype)
         fmask = g.free[:, None]
         w = g.f_sqrt_info  # zero rows silence padded slots entirely
 
@@ -511,14 +519,12 @@ def solve_pose_graph_blocks(
         pr_il=spec_b, pr_q=spec_b, pr_p=spec_b, pr_sqrt_info=spec_b,
         sep_block=P(), sep_local=P(), sep_mask=P(),
     )
-    mapped = jax.jit(
+    return jax.jit(
         jax.shard_map(
             local_solver, mesh=mesh,
             in_specs=(in_specs,), out_specs=(spec_b, spec_b, P()),
         )
     )
-    q, p, trace = mapped(g)
-    return q, p, {"cost_trace": trace, "final_cost": trace[-1]}
 
 
 def unpartition(q_blocks, p_blocks, n: int):

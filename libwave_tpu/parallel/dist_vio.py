@@ -111,6 +111,9 @@ def solve_vio_sharded(
     number of blocks must equal the mesh axis size. Returns (state, info)
     matching :func:`libwave_tpu.pipelines.vio.solve_vio` on the
     unpartitioned problem (trim padding keyframes with ``[:N]``).
+
+    The jit(shard_map) executable is cached on (mesh, axis_name, cfg,
+    problem structure) — repeated solves do not re-trace.
     """
     n_blocks = stacked.pose_idx.shape[0]
     n_dev = int(mesh.shape[axis_name])
@@ -120,6 +123,12 @@ def solve_vio_sharded(
             f"'{axis_name}' has {n_dev} devices; re-partition with "
             f"n_shards={n_dev}"
         )
+    cache_key = (
+        mesh, axis_name, cfg, jax.tree.structure((stacked, state))
+    )
+    mapped = _VIO_SOLVER_CACHE.get(cache_key)
+    if mapped is not None:
+        return mapped(stacked, state)
 
     spec_b = P(axis_name)
     rep = P()
@@ -160,4 +169,9 @@ def solve_vio_sharded(
             check_vma=False,
         )
     )
+    _VIO_SOLVER_CACHE[cache_key] = mapped
     return mapped(stacked, state)
+
+
+# see parallel.dist_ba._BA_SOLVER_CACHE — same retrace-avoidance cache
+_VIO_SOLVER_CACHE: dict = {}

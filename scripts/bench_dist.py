@@ -98,10 +98,10 @@ def main():
     g = partition_pose_graph(q, p, between, None, n_blocks=n_dev)
     pg_cfg = PoseGraphConfig(max_iterations=4, cg_max_iters=20)
     sp_mesh = Mesh(np.asarray(jax.devices()), ("sp",))
-    # outer jit: solve_pose_graph_blocks builds a fresh jit(shard_map)
-    # closure per call, so without this the timed call would re-trace and
-    # measure compile time, not solve time
-    fpg = jax.jit(lambda g_: solve_pose_graph_blocks(g_, sp_mesh, cfg=pg_cfg))
+    # solve_pose_graph_blocks caches its jit(shard_map) executable on
+    # (mesh, axis_name, cfg), so the second (timed) call below measures
+    # solve time, not compile time
+    fpg = lambda g_: solve_pose_graph_blocks(g_, sp_mesh, cfg=pg_cfg)
     qb, pb, pg_info = fpg(g)
     q_out, p_out = unpartition(qb, pb, n)
     jax.block_until_ready((q_out, p_out))
@@ -116,6 +116,10 @@ def main():
             {
                 "dist_mesh_devices": n_dev,
                 "dist_ba_cost_rel_err_vs_single": round(rel, 6),
+                # single-vs-sharded numerical parity is the distributed
+                # solver's core claim: flag loudly if it regresses so the
+                # bench JSON can't silently carry a broken solver
+                "dist_ba_parity_ok": bool(rel < 1e-2),
                 "dist_ba_sharded_iter_per_s": round(
                     cfg.max_iterations / ts, 2
                 ),
