@@ -15,6 +15,13 @@ from libwave_tpu.pipelines.euroc_vio import (  # noqa: F401
     EurocVIOParams,
     build_euroc_vio_problem,
     run_euroc_vio,
+    run_euroc_vio_from_images,
+)
+from libwave_tpu.pipelines.visual_frontend import (  # noqa: F401
+    FrontendParams,
+    detect_and_describe,
+    track_sequence,
+    tracks_from_state,
 )
 from libwave_tpu.pipelines.overlap import (  # noqa: F401
     pipelined_windows,

@@ -79,14 +79,21 @@ def _triangulate_dlt(rows_P, rows_uv):
 
 def build_euroc_vio_problem(root: str,
                             params: EurocVIOParams = EurocVIOParams(),
-                            K: np.ndarray | None = None):
+                            K: np.ndarray | None = None,
+                            tracks: np.ndarray | None = None):
     """Host-side problem assembly: loaders -> preintegration -> track bank
     -> triangulated initial map -> (problem, init_state, gt Trajectory,
-    keyframe times)."""
+    keyframe times).
+
+    ``tracks`` overrides the cam0/tracks.csv sidecar with an in-memory
+    (frame, landmark_id, u, v) array — the path used when the framework's
+    own front end (pipelines.visual_frontend.track_sequence) produced the
+    tracks from the cam0 images."""
     imu = load_euroc_imu(root)
     gt = load_euroc_ground_truth(root)
     cam_times, _ = load_euroc_camera_index(root)
-    tracks = load_euroc_tracks(root)
+    if tracks is None:
+        tracks = load_euroc_tracks(root)
 
     N = len(cam_times)
     if params.max_keyframes and N > params.max_keyframes:
@@ -253,10 +260,11 @@ def default_vio_config(params: EurocVIOParams) -> VIOConfig:
 
 
 def run_euroc_vio(root: str, params: EurocVIOParams = EurocVIOParams(),
-                  cfg: VIOConfig | None = None, K: np.ndarray | None = None):
+                  cfg: VIOConfig | None = None, K: np.ndarray | None = None,
+                  tracks: np.ndarray | None = None):
     """Full pipeline: build -> solve -> ATE. Returns (state, report dict)."""
     problem, init, gt_traj, kf_times = build_euroc_vio_problem(
-        root, params, K
+        root, params, K, tracks=tracks
     )
     if cfg is None:
         cfg = default_vio_config(params)
@@ -277,4 +285,53 @@ def run_euroc_vio(root: str, params: EurocVIOParams = EurocVIOParams(),
         "num_keyframes": int(state.q.shape[0]),
         "num_landmarks": int(state.lm.shape[0]),
     }
+    return state, report
+
+
+def run_euroc_vio_from_images(
+    root: str,
+    params: EurocVIOParams = EurocVIOParams(),
+    frontend=None,
+    cfg: VIOConfig | None = None,
+    K: np.ndarray | None = None,
+):
+    """End-to-end VIO whose only sensor inputs are the cam0 **images** and
+    the IMU stream: run the framework's own front end
+    (FAST -> BRISK -> match -> track) over cam0/data/*.png, feed the
+    resulting track bank into the VIO factor graph, solve, and score ATE.
+
+    This is the full closed loop the reference assembles across modules —
+    Tracker filling the LandmarkMeasurementContainer
+    (wave_vision/include/wave/vision/tracker/tracker.hpp:34) that the BA
+    problem consumes (wave_optimization/tests/ceres/ba_test.cpp:97) — as
+    one pipeline call. Ground truth is used only for the initial state
+    (q0, p0, v0, standard VIO initialization) and for scoring.
+
+    Returns ``(state, report)`` with front-end stats added to the report.
+    """
+    import time as _time
+
+    from libwave_tpu.pipelines.visual_frontend import (
+        FrontendParams,
+        track_sequence,
+    )
+    from libwave_tpu.vision.images import read_image_sequence
+
+    if frontend is None:
+        frontend = FrontendParams()
+    cam_times, paths = load_euroc_camera_index(root)
+    n = len(paths)
+    if params.max_keyframes and n > params.max_keyframes:
+        paths = paths[: params.max_keyframes]
+    frames = read_image_sequence(paths)
+    t0 = _time.perf_counter()
+    tracks = track_sequence(frames, params=frontend)
+    dt_frontend = _time.perf_counter() - t0
+
+    state, report = run_euroc_vio(root, params, cfg, K, tracks=tracks)
+    report["num_track_measurements"] = int(len(tracks))
+    report["num_tracks"] = int(len(np.unique(tracks[:, 1])))
+    report["frontend_frames"] = int(frames.shape[0])
+    report["frontend_seconds"] = float(dt_frontend)
+    report["frontend_frames_per_s"] = float(frames.shape[0] / dt_frontend)
     return state, report

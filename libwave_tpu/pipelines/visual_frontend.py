@@ -1,0 +1,132 @@
+"""Image-sequence front end: pixels -> persistent feature tracks.
+
+This closes the reference's front-end/back-end loop: the templated Tracker
+fills a LandmarkMeasurementContainer (wave_vision/include/wave/vision/
+tracker/tracker.hpp:34) whose tracks are exactly what the BA problem
+builder consumes (wave_optimization/tests/ceres/ba_test.cpp:97). Here the
+same flow is a fixed-shape device program per frame — FAST detect -> BRISK
+describe -> Hamming match + ratio + RANSAC -> masked ID inheritance — and
+the resulting track bank exports as the framework's (frame, landmark_id,
+u, v) array, the format ``datasets.euroc.load_euroc_tracks`` returns and
+``pipelines.euroc_vio`` solves from.
+
+The per-frame step is jit-compiled once and re-used across the sequence
+(tracker state threads through host-side), so arbitrarily long sequences
+stream without retracing; batches of sequences can vmap the same step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libwave_tpu.vision.descriptor import BRISKParams, brisk_describe
+from libwave_tpu.vision.detector import FASTParams, detect_fast
+from libwave_tpu.vision.matcher import MatcherParams
+from libwave_tpu.vision.tracker import (
+    TrackerParams,
+    TrackerState,
+    add_image_features,
+    tracker_init,
+)
+
+__all__ = [
+    "FrontendParams",
+    "detect_and_describe",
+    "track_sequence",
+    "tracks_from_state",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendParams:
+    """Composed front-end configuration (detector + descriptor + tracker)."""
+
+    fast: FASTParams = dataclasses.field(
+        default_factory=lambda: FASTParams(threshold=20.0, num_features=512)
+    )
+    brisk: BRISKParams = dataclasses.field(default_factory=BRISKParams)
+    tracker: TrackerParams = dataclasses.field(
+        default_factory=lambda: TrackerParams(
+            num_features=512, buffer_capacity=65536
+        )
+    )
+
+    def __post_init__(self):
+        if self.tracker.num_features != self.fast.num_features:
+            raise ValueError(
+                "tracker.num_features must equal fast.num_features "
+                f"({self.tracker.num_features} != {self.fast.num_features})"
+            )
+
+
+def detect_and_describe(image: jnp.ndarray, params: FrontendParams):
+    """One frame's (xy, desc, mask) bank — jit/vmap-able."""
+    xy, _, m = detect_fast(image, params.fast)
+    desc, m = brisk_describe(image, xy, m, params.brisk)
+    return xy, desc, m
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _frontend_step(state: TrackerState, image, time, key,
+                   params: FrontendParams):
+    xy, desc, m = detect_and_describe(image, params)
+    return add_image_features(
+        state, xy, desc, m, time, key, params.tracker
+    )
+
+
+def _desc_words(params: FrontendParams) -> int:
+    from libwave_tpu.vision.descriptor import _brisk_pattern
+
+    _, _, short, _ = _brisk_pattern(params.brisk)
+    return (len(short) + 31) // 32
+
+
+def track_sequence(frames, times=None,
+                   params: FrontendParams = FrontendParams(),
+                   key=None) -> np.ndarray:
+    """Track a (T, H, W) image stack; return the (K, 4) float64 track array
+    ``(frame, landmark_id, u, v)`` — the tracks.csv/VoDataset-export format
+    the VIO/BA problem builders consume.
+
+    ``frames`` may be uint8 or float; ``times`` defaults to the frame
+    index. The compiled per-frame step is shared across calls with the same
+    ``params`` and image shape.
+    """
+    frames = np.asarray(frames)
+    T = frames.shape[0]
+    if times is None:
+        times = np.arange(T, dtype=np.float64)
+    if key is None:
+        key = jax.random.key(0)
+
+    state = tracker_init(params.tracker, desc_words=_desc_words(params))
+    for i in range(T):
+        key, k = jax.random.split(key)
+        state = _frontend_step(
+            state, jnp.asarray(frames[i], jnp.float32),
+            jnp.asarray(float(times[i]), jnp.float32), k, params,
+        )
+    return tracks_from_state(state)
+
+
+def tracks_from_state(state: TrackerState) -> np.ndarray:
+    """Export the tracker's landmark buffer as (frame, id, u, v) rows,
+    sorted by (frame, id) — ``LandmarkMeasurementContainer`` iteration
+    order (landmark_measurement_container.hpp:196)."""
+    buf = state.landmarks
+    valid = np.asarray(buf.valid)
+    frames = np.asarray(buf.images)[valid]
+    ids = np.asarray(buf.landmark_ids)[valid]
+    uv = np.asarray(buf.values)[valid]
+    order = np.lexsort((ids, frames))
+    out = np.zeros((len(frames), 4), np.float64)
+    out[:, 0] = frames[order]
+    out[:, 1] = ids[order]
+    out[:, 2:] = uv[order]
+    return out

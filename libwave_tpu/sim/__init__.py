@@ -11,3 +11,8 @@ from libwave_tpu.sim.euroc_sim import (  # noqa: F401
     EurocSimParams,
     generate_euroc_sequence,
 )
+from libwave_tpu.sim.render import (  # noqa: F401
+    landmark_textures,
+    render_frame,
+    render_sequence,
+)

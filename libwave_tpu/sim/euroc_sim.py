@@ -50,6 +50,9 @@ class EurocSimParams:
     accel_sigma: float = 2.0e-3
     gyro_bias: tuple = (0.002, -0.001, 0.0015)
     accel_bias: tuple = (0.02, 0.015, -0.01)
+    # also render cam0 images (sim.render textured patches at the true
+    # projections) into cam0/data/<ts>.png — the front-end-in-the-loop mode
+    render_images: bool = False
 
 
 def _trajectory(p: EurocSimParams, t):
@@ -195,6 +198,8 @@ def generate_euroc_sequence(root: str,
             fh.write(f"{ts_ns[i]},{ts_ns[i]}.png\n")
 
     rows = []
+    uv_frames = np.zeros((len(cam_idx), lm.shape[0], 2))
+    vis_frames = np.zeros((len(cam_idx), lm.shape[0]), bool)
     for fi, i in enumerate(cam_idx):
         q_GC = np.asarray(
             so3.quat_multiply(jnp.asarray(q[i]), jnp.asarray(qbc))
@@ -210,6 +215,8 @@ def generate_euroc_sequence(root: str,
             & (uv[:, 0] >= 0) & (uv[:, 0] < p.width)
             & (uv[:, 1] >= 0) & (uv[:, 1] < p.height_px)
         )
+        uv_frames[fi] = uv
+        vis_frames[fi] = vis
         ids = np.nonzero(vis)[0]
         keep = rng.random(ids.size) >= p.dropout_fraction
         ids = ids[keep]
@@ -225,5 +232,21 @@ def generate_euroc_sequence(root: str,
         fh.write("#frame,landmark_id,u [px],v [px]\n")
         for fi, j, u, v in rows:
             fh.write(f"{fi},{j},{u:.4f},{v:.4f}\n")
+
+    if p.render_images:
+        from PIL import Image
+
+        from libwave_tpu.sim.render import landmark_textures, render_sequence
+
+        tex = landmark_textures(lm.shape[0], seed=seed + 101)
+        frames = render_sequence(
+            uv_frames, vis_frames, tex, p.width, p.height_px
+        )
+        data_dir = os.path.join(cam_dir, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        for fi, i in enumerate(cam_idx):
+            Image.fromarray(frames[fi]).save(
+                os.path.join(data_dir, f"{ts_ns[i]}.png")
+            )
 
     return lm
