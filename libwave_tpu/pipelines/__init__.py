@@ -17,6 +17,10 @@ from libwave_tpu.pipelines.euroc_vio import (  # noqa: F401
     run_euroc_vio,
     run_euroc_vio_from_images,
 )
+from libwave_tpu.pipelines.windowed_vio import (  # noqa: F401
+    WindowedVIOParams,
+    run_euroc_vio_windowed,
+)
 from libwave_tpu.pipelines.visual_frontend import (  # noqa: F401
     FrontendParams,
     detect_and_describe,

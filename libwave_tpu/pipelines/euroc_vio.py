@@ -64,17 +64,134 @@ class EurocVIOParams:
     bias_prior_accel: float = 1e1
 
 
-def _triangulate_dlt(rows_P, rows_uv):
-    """Linear DLT from >= 2 views: rows_P (V, 3, 4) projection matrices,
-    rows_uv (V, 2). Host numpy."""
-    A = []
-    for P, (u, v) in zip(rows_P, rows_uv):
-        A.append(u * P[2] - P[0])
-        A.append(v * P[2] - P[1])
-    A = np.asarray(A)
-    _, _, Vt = np.linalg.svd(A)
-    X = Vt[-1]
-    return X[:3] / X[3] if abs(X[3]) > 1e-12 else X[:3]
+def _preintegrate_intervals(imu, cam_times, N, params):
+    """vmapped preintegration of every keyframe interval (equal-length
+    windows over a uniform IMU stream): one compiled program instead of a
+    host loop — the step that dominated problem build time at
+    north-star sequence lengths. Returns (pim_stack, sqrt_infos)."""
+    dt_imu = float(np.median(np.diff(imu.times)))
+    steps = int(round((cam_times[1] - cam_times[0]) / dt_imu))
+    starts = np.round(
+        (np.asarray(cam_times[:-1]) - imu.times[0]) / dt_imu
+    ).astype(np.int64)
+    idx = np.minimum(starts[:, None] + np.arange(steps)[None, :],
+                     len(imu.times) - 1)
+    z3 = jnp.zeros(3)
+    pim_stack = jax.vmap(
+        lambda g, a: preintegrate_imu(
+            g, a, dt_imu, z3, z3,
+            gyro_noise_density=params.gyro_noise_density,
+            accel_noise_density=params.accel_noise_density,
+        )
+    )(jnp.asarray(imu.gyro[idx]), jnp.asarray(imu.accel[idx]))
+    sqrt_infos = jax.vmap(imu_sqrt_info)(pim_stack)
+    return pim_stack, sqrt_infos
+
+
+def _track_bank(tracks, N, min_track_length, frame_offset=0):
+    """(frame, id, u, v) rows -> dense-id observation bank over keyframes
+    [frame_offset, frame_offset + N), sorted by frame. Returns
+    (pose_idx, lm_idx, uv, M)."""
+    frames = tracks[:, 0].astype(np.int64) - frame_offset
+    keep = (frames >= 0) & (frames < N)
+    frames = frames[keep]
+    raw_ids = tracks[keep, 1].astype(np.int64)
+    uv_all = tracks[keep, 2:4]
+    uniq, inv, counts = np.unique(
+        raw_ids, return_inverse=True, return_counts=True
+    )
+    long_enough = counts[inv] >= min_track_length
+    frames = frames[long_enough]
+    inv = inv[long_enough]
+    uv_all = uv_all[long_enough]
+    uniq2, lm_ids = np.unique(inv, return_inverse=True)
+    M = len(uniq2)
+
+    order = np.argsort(frames, kind="stable")
+    return (
+        frames[order].astype(np.int32),
+        lm_ids[order].astype(np.int32),
+        uv_all[order],
+        M,
+    )
+
+
+def _camera_P_mats(qs, ps, Kmat, qbc):
+    """Batched pinhole projection matrices P = K [R^T | -R^T p] for body
+    poses composed with the camera extrinsic rotation."""
+    n = len(qs)
+    q_GC = np.asarray(
+        so3.quat_multiply(
+            jnp.asarray(qs), jnp.broadcast_to(jnp.asarray(qbc), (n, 4))
+        )
+    )
+    R = np.asarray(jax.vmap(so3.quat_to_rot)(jnp.asarray(q_GC)))
+    P = np.zeros((n, 3, 4))
+    P[:, :, :3] = np.einsum("ij,nkj->nik", np.asarray(Kmat), R)  # K R^T
+    P[:, :, 3] = -np.einsum("nij,nj->ni", P[:, :, :3], np.asarray(ps))
+    return P
+
+
+def _spread_views(lm_idx, inlier, M, V=4):
+    """Per-landmark selection of up to V observation indices spread across
+    its track (inliers preferred; all observations when < 2 inliers
+    survive). Fully vectorized. Returns (sel (M, V), mask (M, V))."""
+    K_obs = len(lm_idx)
+    cnt_all = np.bincount(lm_idx, minlength=M)
+    cnt_in = np.bincount(lm_idx[inlier], minlength=M)
+    use_all = cnt_in < 2
+    # sort observations by landmark with outliers demoted to the tail of
+    # each landmark's run (so the first `pool` entries are the usable set)
+    demote = np.where(use_all[lm_idx], False, ~inlier)
+    order = np.lexsort((np.arange(K_obs), demote, lm_idx))
+    start = np.zeros(M, np.int64)
+    np.cumsum(cnt_all[:-1], out=start[1:])
+    pool = np.where(use_all, cnt_all, cnt_in)
+    js = np.arange(V)
+    pos = (js[None, :] * (np.maximum(pool, 1) - 1)[:, None]) // max(V - 1, 1)
+    sel = order[np.minimum(start[:, None] + pos, max(K_obs - 1, 0))]
+    mask = pool[:, None] > 0
+    uniq = np.ones((M, V), bool)
+    uniq[:, 1:] = pos[:, 1:] != pos[:, :-1]
+    return sel, mask & uniq
+
+
+def _triangulate_gated(P_mats, pose_idx, lm_idx, uv, M, gate_px, rounds):
+    """Alternating batched-DLT triangulation and reprojection gating —
+    the pipeline stand-in for the front-end's RANSAC outlier rejection
+    (brute_force_matcher.cpp:122-158). Round 1 uses all observations
+    (outliers included); later rounds re-triangulate from gate survivors.
+    Fully vectorized over landmarks (one batched (M, 2V, 4) SVD per round).
+    Returns (lm_init (M, 3), inlier (K,))."""
+    K_obs = len(pose_idx)
+    inlier = np.ones(K_obs, bool)
+    lm_init = np.zeros((M, 3))
+    for _ in range(max(rounds, 1)):
+        sel, smask = _spread_views(lm_idx, inlier, M)
+        P = P_mats[pose_idx[sel]]  # (M, V, 3, 4)
+        u, v = uv[sel][..., 0], uv[sel][..., 1]
+        rows = np.stack(
+            [
+                u[..., None] * P[:, :, 2] - P[:, :, 0],
+                v[..., None] * P[:, :, 2] - P[:, :, 1],
+            ],
+            axis=2,
+        )  # (M, V, 2, 4)
+        A = (rows * smask[..., None, None]).reshape(M, -1, 4)
+        _, _, Vt = np.linalg.svd(A, full_matrices=False)
+        X = Vt[:, -1, :]
+        w = X[:, 3]
+        safe_w = np.where(np.abs(w) < 1e-12, 1.0, w)
+        lm_init = np.where(
+            np.abs(w[:, None]) > 1e-12, X[:, :3] / safe_w[:, None], X[:, :3]
+        )
+        Xh = np.concatenate([lm_init, np.ones((M, 1))], axis=-1)
+        proj = np.einsum("kij,kj->ki", P_mats[pose_idx], Xh[lm_idx])
+        z = proj[:, 2]
+        uv_hat = proj[:, :2] / np.where(np.abs(z) < 1e-9, 1e-9, z)[:, None]
+        err = np.linalg.norm(uv_hat - uv, axis=-1)
+        inlier = (z > 0.1) & (err < gate_px)
+    return lm_init, inlier
 
 
 def build_euroc_vio_problem(root: str,
@@ -99,47 +216,13 @@ def build_euroc_vio_problem(root: str,
     if params.max_keyframes and N > params.max_keyframes:
         N = params.max_keyframes
         cam_times = cam_times[:N]
-    dt_imu = float(np.median(np.diff(imu.times)))
 
-    # preintegrate each keyframe interval (equal-length windows: uniform
-    # camera rate over a uniform IMU stream)
-    steps = int(round((cam_times[1] - cam_times[0]) / dt_imu))
-    z3 = jnp.zeros(3)
-    pims = []
-    for i in range(N - 1):
-        s = int(round((cam_times[i] - imu.times[0]) / dt_imu))
-        pims.append(
-            preintegrate_imu(
-                jnp.asarray(imu.gyro[s:s + steps]),
-                jnp.asarray(imu.accel[s:s + steps]),
-                dt_imu, z3, z3,
-                gyro_noise_density=params.gyro_noise_density,
-                accel_noise_density=params.accel_noise_density,
-            )
-        )
-    pim_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *pims)
-    sqrt_infos = jnp.stack([imu_sqrt_info(p) for p in pims])
-
-    # feature-track bank: dense landmark ids, minimum track length
-    frames = tracks[:, 0].astype(np.int64)
-    keep = frames < N
-    frames = frames[keep]
-    raw_ids = tracks[keep, 1].astype(np.int64)
-    uv_all = tracks[keep, 2:4]
-    uniq, inv, counts = np.unique(
-        raw_ids, return_inverse=True, return_counts=True
+    pim_stack, sqrt_infos = _preintegrate_intervals(
+        imu, cam_times, N, params
     )
-    long_enough = counts[inv] >= params.min_track_length
-    frames = frames[long_enough]
-    inv = inv[long_enough]
-    uv_all = uv_all[long_enough]
-    uniq2, lm_ids = np.unique(inv, return_inverse=True)
-    M = len(uniq2)
-
-    order = np.argsort(frames, kind="stable")
-    pose_idx = frames[order].astype(np.int32)
-    lm_idx = lm_ids[order].astype(np.int32)
-    uv = uv_all[order]
+    pose_idx, lm_idx, uv, M = _track_bank(
+        tracks, N, params.min_track_length
+    )
 
     Kmat = EUROC_CAM0_K if K is None else K
     qbc = np.asarray(default_q_BC(np.float64))
@@ -183,37 +266,13 @@ def build_euroc_vio_problem(root: str,
     state0 = vio_dead_reckon(
         problem, q0, p0, v0, jnp.zeros((M, 3))
     )
-    qs = np.asarray(state0.q)
-    ps = np.asarray(state0.p)
-    P_mats = np.zeros((N, 3, 4))
-    for i in range(N):
-        q_GC = np.asarray(
-            so3.quat_multiply(jnp.asarray(qs[i]), jnp.asarray(qbc))
-        )
-        R = np.asarray(so3.quat_to_rot(jnp.asarray(q_GC)))
-        P_mats[i, :, :3] = Kmat @ R.T
-        P_mats[i, :, 3] = -Kmat @ R.T @ ps[i]
-
-    # alternate triangulation with reprojection gating: round 1 uses all
-    # observations (outliers included), later rounds re-triangulate from
-    # survivors of the gate — the pipeline stand-in for the front-end's
-    # RANSAC outlier rejection (brute_force_matcher.cpp:122-158)
-    inlier = np.ones(len(pose_idx), bool)
-    lm_init = np.zeros((M, 3))
-    for _ in range(max(params.gate_rounds, 1)):
-        for m in range(M):
-            sel = np.nonzero((lm_idx == m) & inlier)[0]
-            if sel.size < 2:
-                sel = np.nonzero(lm_idx == m)[0]
-            use = sel[:: max(len(sel) // 4, 1)][:4]  # spread up to 4 views
-            lm_init[m] = _triangulate_dlt(P_mats[pose_idx[use]], uv[use])
-        # reproject, gate
-        Xh = np.concatenate([lm_init, np.ones((M, 1))], axis=-1)
-        proj = np.einsum("kij,kj->ki", P_mats[pose_idx], Xh[lm_idx])
-        z = proj[:, 2]
-        uv_hat = proj[:, :2] / np.where(np.abs(z) < 1e-9, 1e-9, z)[:, None]
-        err = np.linalg.norm(uv_hat - uv, axis=-1)
-        inlier = (z > 0.1) & (err < params.outlier_gate_px)
+    P_mats = _camera_P_mats(
+        np.asarray(state0.q), np.asarray(state0.p), Kmat, qbc
+    )
+    lm_init, inlier = _triangulate_gated(
+        P_mats, pose_idx, lm_idx, uv, M,
+        params.outlier_gate_px, params.gate_rounds,
+    )
 
     # weight-zero the gated-out observations; drop landmarks left with < 2
     # inliers entirely (their init is untrustworthy)
