@@ -39,7 +39,7 @@ class GimbalState(NamedTuple):
 # Chosen for discrete stability at dt = 1 ms: the derivative term acts through
 # a one-step delay, so the delayed-damping coefficient k_d/Ix must stay well
 # below 1 per step (spectral radius 0.87 here).
-JOINT_GAINS = PIDGains(k_p=jnp.float32(150.0), k_i=jnp.float32(0.0), k_d=jnp.float32(2.0))
+JOINT_GAINS = PIDGains(k_p=150.0, k_i=0.0, k_d=2.0)  # plain floats: no backend init at import
 
 
 def gimbal_init(dtype=jnp.float32) -> GimbalState:

@@ -62,9 +62,9 @@ class QuadrotorState(NamedTuple):
     pos_outputs: jnp.ndarray  # (4,) last [r, p, y, t] setpoints (rate-held)
 
 
-ATT_GAINS = PIDGains(k_p=jnp.float32(200.0), k_i=jnp.float32(0.5), k_d=jnp.float32(10.0))
-POS_GAINS_XY = PIDGains(k_p=jnp.float32(0.5), k_i=jnp.float32(0.0), k_d=jnp.float32(0.035))
-POS_GAINS_Z = PIDGains(k_p=jnp.float32(0.5), k_i=jnp.float32(0.0), k_d=jnp.float32(0.018))
+ATT_GAINS = PIDGains(k_p=200.0, k_i=0.5, k_d=10.0)  # plain floats: no backend init at import
+POS_GAINS_XY = PIDGains(k_p=0.5, k_i=0.0, k_d=0.035)
+POS_GAINS_Z = PIDGains(k_p=0.5, k_i=0.0, k_d=0.018)
 
 
 def quadrotor_init(pose=None, dtype=jnp.float32) -> QuadrotorState:

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from libwave_tpu.utils.precision import f32_matmuls
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # plain float: no backend init at import time
 
 
 @f32_matmuls

@@ -56,7 +56,7 @@ class NDTGrid(NamedTuple):
     valid: jnp.ndarray  # (V,)
 
 
-_EMPTY = jnp.int32(0x7FFFFFFF)
+_EMPTY = 0x7FFFFFFF  # int32 max as a plain int (no backend init at import)
 
 
 def build_ndt_grid(cloud: PointCloud, res: float,

@@ -26,7 +26,7 @@ from libwave_tpu.geometry import so3
 
 from libwave_tpu.utils.precision import f32_matmuls
 
-GRAVITY = jnp.asarray([0.0, 0.0, -9.81])
+GRAVITY = (0.0, 0.0, -9.81)  # plain tuple: no backend init at import time
 
 
 class PreintegratedImu(NamedTuple):

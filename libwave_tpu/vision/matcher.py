@@ -33,7 +33,8 @@ from libwave_tpu.utils.config import ConfigError
 
 from libwave_tpu.utils.precision import f32_matmuls
 
-_BIG = jnp.int32(1 << 24)
+_BIG = 1 << 24  # plain int: module import must not touch the backend
+# (multihost processes import the library BEFORE jax.distributed.initialize)
 
 
 @dataclasses.dataclass(frozen=True)
