@@ -196,6 +196,7 @@ def run_euroc_vio_windowed(
 
     solved_upto = 1  # states [0, solved_upto) are final
     window_costs = []
+    window_times = []
     t_solve = 0.0
     # pass 2: sequential build-and-solve — each window's initialization
     # chains off the previous window's solution
@@ -270,7 +271,8 @@ def run_euroc_vio_windowed(
         t0 = _time.perf_counter()
         state, info = solve(problem, state0)
         jax.block_until_ready(state)
-        t_solve += _time.perf_counter() - t0
+        window_times.append(_time.perf_counter() - t0)
+        t_solve += window_times[-1]
         window_costs.append(float(info["final_cost"]))
         frozen = max(solved_upto - s, 1)
         est_q[s + frozen : s + W] = np.asarray(state.q)[frozen:]
@@ -299,7 +301,15 @@ def run_euroc_vio_windowed(
         "overlap": wparams.overlap,
         "window_final_costs": window_costs,
         "solve_seconds": t_solve,
-        "solve_keyframes_per_s": N / max(t_solve, 1e-9),
+        # the first window's time includes the (single) jit compile; the
+        # steady-state rate replaces it with the median of the rest
+        "solve_keyframes_per_s": N / max(
+            t_solve
+            - (window_times[0] - float(np.median(window_times[1:])))
+            if len(window_times) > 1 else t_solve,
+            1e-9,
+        ),
+        "solve_keyframes_per_s_including_compile": N / max(t_solve, 1e-9),
         "num_landmarks_padded": M_pad,
     }
     return est, report

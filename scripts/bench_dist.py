@@ -22,10 +22,57 @@ it needs no mesh.
 """
 
 import json
+import re
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+
+_DTYPE_BYTES = {
+    "f32": 4, "f64": 8, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+    "s64": 8, "u64": 8, "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2,
+}
+
+
+def _shape_bytes(s: str) -> int:
+    total = 0
+    for m in re.finditer(r"(\w+)\[([\d,]*)\]", s):
+        dt, dims = m.groups()
+        if dt not in _DTYPE_BYTES:
+            continue
+        el = 1
+        for d in dims.split(","):
+            if d:
+                el *= int(d)
+        total += el * _DTYPE_BYTES[dt]
+    return total
+
+
+def collective_wire_bytes(hlo: str, n: int) -> dict:
+    """Sum the wire bytes of every collective instruction in an HLO dump,
+    using ring-algorithm cost factors: all-reduce moves 2(n-1)/n of the
+    buffer, all-gather/reduce-scatter (n-1)/n, collective-permute 1x.
+    Static instruction count == dynamic when every loop trip count is 1."""
+    out = {"all-reduce": 0.0, "all-gather": 0.0, "reduce-scatter": 0.0,
+           "collective-permute": 0.0}
+    for line in hlo.splitlines():
+        mm = re.search(
+            r"=\s+(.*?)\s+(all-reduce|all-gather|reduce-scatter|"
+            r"collective-permute)(-start)?\(",
+            line,
+        )
+        if not mm or "-done" in line.split("=")[1][:60]:
+            continue
+        b = _shape_bytes(mm.group(1))
+        op = mm.group(2)
+        if op == "all-reduce":
+            out[op] += 2 * (n - 1) / n * b
+        elif op in ("all-gather", "reduce-scatter"):
+            out[op] += (n - 1) / n * b
+        else:
+            out[op] += b
+    return out
 
 
 def main():
@@ -68,6 +115,29 @@ def main():
     outs, infos = fs(stacked, padded)
     cs = float(infos["final_cost"])
     ts = time.perf_counter() - t0
+
+    # ICI-model validation against the compiler: static collective wire
+    # bytes of a 1-LM-iteration / 1-CG-step sharded solve (every loop trip
+    # count is 1, so static == dynamic) vs the analytic model bench.py uses
+    # for chip-scaling prediction, on the same program.
+    cfg1 = BAConfig(
+        max_iterations=1, cg_max_iters=1, cg_tol=0.0, solver="pcg",
+        relative_decrease_tol=0.0, absolute_decrease_tol=0.0,
+    )
+    hlo = jax.jit(
+        lambda st_, pd: solve_ba_sharded(st_, pd, mesh, cfg1)
+    ).lower(stacked, padded).compile().as_text()
+    wire = collective_wire_bytes(hlo, n_dev)
+    hlo_bytes = sum(wire.values())
+    M_, D_, f_ = 2000, 6, 4
+    N_ = int(padded.q.shape[0])  # pose count after block padding
+    nr = (n_dev - 1) / n_dev
+    model_bytes = (
+        1 * (2 * nr * 3 * M_ * f_ + nr * D_ * N_ * f_)  # 1 CG matvec
+        + (2 * nr * 3 * M_ * f_ + nr * D_ * N_ * f_)  # Schur-rhs pass
+        + 2 * nr * 9 * M_ * f_  # landmark-side assembly psum (6+3, M)
+        + nr * (D_ * D_ + D_) * N_ * f_  # Hpp/bp gather
+    )
 
     # distributed pose graph over the same mesh
     from libwave_tpu.optim.pose_graph import (
@@ -130,6 +200,14 @@ def main():
                 "dist_pose_graph_final_cost": round(
                     float(pg_info["final_cost"]), 6
                 ),
+                "dist_hlo_wire_bytes_1iter1cg": round(hlo_bytes),
+                "dist_model_wire_bytes_1iter1cg": round(model_bytes),
+                "dist_model_vs_hlo_ratio": round(
+                    model_bytes / max(hlo_bytes, 1.0), 3
+                ),
+                "dist_hlo_wire_bytes_by_op": {
+                    k: round(v) for k, v in wire.items()
+                },
             }
         )
     )
