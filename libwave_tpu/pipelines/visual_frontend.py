@@ -87,16 +87,42 @@ def _desc_words(params: FrontendParams) -> int:
     return (len(short) + 31) // 32
 
 
+@partial(jax.jit, static_argnames=("params",))
+def _frontend_scan(state: TrackerState, frames, times, keys,
+                   params: FrontendParams):
+    """Whole-sequence tracking as ONE device program (`lax.scan` over
+    frames) — the production TPU convention: through a remote runtime the
+    per-frame dispatch latency (~30 ms) would otherwise cap throughput."""
+
+    def step(st, inp):
+        img, t, k = inp
+        # nested jit inlines under trace — same computation as the
+        # streaming per-frame step
+        return _frontend_step(st, img, t, k, params), None
+
+    state, _ = jax.lax.scan(step, state, (frames, times, keys))
+    return state
+
+
 def track_sequence(frames, times=None,
                    params: FrontendParams = FrontendParams(),
-                   key=None) -> np.ndarray:
+                   key=None, scan: bool | None = None) -> np.ndarray:
     """Track a (T, H, W) image stack; return the (K, 4) float64 track array
     ``(frame, landmark_id, u, v)`` — the tracks.csv/VoDataset-export format
     the VIO/BA problem builders consume.
 
     ``frames`` may be uint8 or float; ``times`` defaults to the frame
-    index. The compiled per-frame step is shared across calls with the same
-    ``params`` and image shape.
+    index. ``scan`` selects the execution mode:
+
+    - ``True``: the whole sequence runs as one ``lax.scan`` device program
+      (one dispatch; the stack lives on device);
+    - ``False``: one jit-compiled step per frame (streaming mode — frames
+      can arrive one at a time and never co-reside on device);
+    - ``None`` (default): scan when the float32 stack fits comfortably on
+      device (< 512 MB), else stream.
+
+    Both modes use identical per-frame keys, so they produce identical
+    tracks.
     """
     frames = np.asarray(frames)
     T = frames.shape[0]
@@ -104,14 +130,24 @@ def track_sequence(frames, times=None,
         times = np.arange(T, dtype=np.float64)
     if key is None:
         key = jax.random.key(0)
+    if scan is None:
+        scan = frames.nbytes if frames.dtype == np.float32 \
+            else 4 * frames.size
+        scan = scan < 512 * 1024 * 1024
 
+    keys = jax.random.split(key, T)
     state = tracker_init(params.tracker, desc_words=_desc_words(params))
-    for i in range(T):
-        key, k = jax.random.split(key)
-        state = _frontend_step(
-            state, jnp.asarray(frames[i], jnp.float32),
-            jnp.asarray(float(times[i]), jnp.float32), k, params,
+    times32 = jnp.asarray(np.asarray(times, np.float32))
+    if scan:
+        state = _frontend_scan(
+            state, jnp.asarray(frames, jnp.float32), times32, keys, params
         )
+    else:
+        for i in range(T):
+            state = _frontend_step(
+                state, jnp.asarray(frames[i], jnp.float32),
+                times32[i], keys[i], params,
+            )
     return tracks_from_state(state)
 
 

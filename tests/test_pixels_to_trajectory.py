@@ -62,6 +62,33 @@ class TestFrontendTracks:
         fr = np.sort(t0[:, 0].astype(int))
         assert (np.diff(fr) == 1).all()
 
+    def test_scan_and_streaming_modes_agree(self, sim_root):
+        """One-lax.scan-program tracking vs per-frame streaming: identical
+        keys by construction, but XLA may fuse reductions differently, and
+        RANSAC thresholds turn ULP differences into discrete match flips —
+        so the contract is statistical equivalence, not bit equality."""
+        _, paths = load_euroc_camera_index(sim_root)
+        frames = read_image_sequence(paths[:8])
+        p = FrontendParams()
+        t_stream = track_sequence(frames, params=p, scan=False)
+        t_scan = track_sequence(frames, params=p, scan=True)
+
+        def stats(t):
+            lengths = np.bincount(t[:, 1].astype(int))
+            return len(t), len(np.unique(t[:, 1])), lengths[lengths > 0].mean()
+
+        n1, ids1, len1 = stats(t_stream)
+        n2, ids2, len2 = stats(t_scan)
+        assert abs(n1 - n2) <= 0.1 * max(n1, n2), (n1, n2)
+        assert abs(ids1 - ids2) <= 0.1 * max(ids1, ids2), (ids1, ids2)
+        assert abs(len1 - len2) <= 0.5, (len1, len2)
+        # the measurement sets themselves overlap almost entirely
+        s1 = {(int(f), round(u, 1), round(v, 1))
+              for f, _, u, v in t_stream}
+        s2 = {(int(f), round(u, 1), round(v, 1)) for f, _, u, v in t_scan}
+        overlap = len(s1 & s2) / max(len(s1 | s2), 1)
+        assert overlap > 0.9, overlap
+
 
 class TestPixelsToTrajectory:
     @pytest.mark.slow
