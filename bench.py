@@ -656,6 +656,14 @@ def bench_pixels():
     )
     from libwave_tpu.sim import EurocSimParams, generate_euroc_sequence
 
+    from libwave_tpu.datasets.euroc import load_euroc_camera_index
+    from libwave_tpu.pipelines import (
+        FrontendParams,
+        run_euroc_vio,
+        track_sequence,
+    )
+    from libwave_tpu.vision.images import read_image_sequence
+
     p = EurocSimParams(
         duration=8.0, cam_hz=5.0, nb_landmarks=120,
         fx=229.0, fy=228.0, cx=188.0, cy=120.0, width=376, height_px=240,
@@ -664,14 +672,24 @@ def bench_pixels():
     K = np.array([[p.fx, 0, p.cx], [0, p.fy, p.cy], [0, 0, 1.0]])
     with tempfile.TemporaryDirectory() as root:
         generate_euroc_sequence(root, p, seed=0)
-        state, rep = run_euroc_vio_from_images(root, EurocVIOParams(), K=K)
+        _, paths = load_euroc_camera_index(root)
+        frames = read_image_sequence(paths)
+        fp = FrontendParams()
+        tracks = track_sequence(frames, params=fp)  # compile + warm
+        t0 = time.perf_counter()
+        tracks = track_sequence(frames, params=fp)
+        dt_track = time.perf_counter() - t0
+        state, rep = run_euroc_vio(root, EurocVIOParams(), K=K,
+                                   tracks=tracks)
     return {
         "pixels_ate_rmse_m": round(rep["ate_rmse"], 4),
         "pixels_ate_deadreckon_m": round(rep["ate_rmse_deadreckon"], 4),
+        # steady-state rate of the whole-sequence scan program (the first
+        # call's jit compile is a one-time cost, not throughput)
         "pixels_frontend_frames_per_s": round(
-            rep["frontend_frames_per_s"], 2
+            frames.shape[0] / dt_track, 2
         ),
-        "pixels_num_tracks": rep["num_tracks"],
+        "pixels_num_tracks": int(len(np.unique(tracks[:, 1]))),
     }
 
 
