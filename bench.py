@@ -559,6 +559,28 @@ def bench_vio():
     out["vio_dense_mfu_vs_bf16_peak"] = round(
         flops_dense * it_rate / _PEAK_FLOPS_BF16, 6
     )
+
+    # throughput mode for VIO too: B independent sessions (same window
+    # shape) vmapped into one device program — multi-session serving.
+    # Scalar problem fields (pixel_sigma, gravity) stay unbatched via the
+    # in_axes tree.
+    B = 8
+    sp = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+        if hasattr(x, "shape") else x,
+        problem,
+    )
+    ss = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), init)
+    ax_p = jax.tree.map(
+        lambda x: 0 if hasattr(x, "shape") else None, problem
+    )
+    fB = jax.jit(jax.vmap(
+        lambda pr, st: solve_vio(pr, st, cfg)[1]["final_cost"],
+        in_axes=(ax_p, 0),
+    ))
+    dtB, _ = _time_fn(fB, sp, ss)
+    out[f"vio_batched{B}_keyframes_per_s"] = round(B * N / dtB, 2)
+    out[f"vio_batched{B}_speedup"] = round(dt * B / dtB, 2)
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):

@@ -15,6 +15,13 @@ devices*:
 
 Results are bit-identical to the serial schedule (same programs, same
 inputs — only the dispatch order changes), which the test asserts.
+
+Measured (v5e, one chip, BENCH_r03: detect/describe/match front end +
+RANSAC/essential/pose back end, 8 windows): 0.167 s/window serial vs
+0.087 s/window pipelined — **1.93x**. Even single-chip the overlap is
+real: while the device runs window t's back end, the host prepares and
+dispatches window t+1's front end, hiding dispatch/transfer latency; with
+stages on different chips the compute itself overlaps too.
 """
 
 from __future__ import annotations

@@ -27,6 +27,7 @@ solve), not from parallelizing one chain.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time as _time
 
 import jax
@@ -123,12 +124,22 @@ def run_euroc_vio_windowed(
     cfg: VIOConfig | None = None,
     K: np.ndarray | None = None,
     tracks: np.ndarray | None = None,
+    checkpoint_dir: str | None = None,
+    stop_after_windows: int | None = None,
 ):
     """Windowed VIO over an EuRoC (ASL) sequence of arbitrary length.
 
     Ground truth enters only through the very first window's initial state
     (q0, p0, v0) and the final ATE scoring; every later window chains off
     the previous solution. Returns ``(est Trajectory, report dict)``.
+
+    ``checkpoint_dir``: snapshot the chain state after every solved window
+    (atomic npz via ``utils.checkpoint``); a rerun with the same arguments
+    resumes from the last completed window — the crash-recovery story for
+    multi-hour sequences (SURVEY §5.3-5.4: the reference never checkpoints
+    solver state). ``stop_after_windows`` stops the chain early (fault
+    injection in tests; incremental processing in production) — the report
+    then carries ``completed=False`` and ATE over the solved prefix.
     """
     wparams.validate()
     imu = load_euroc_imu(root)
@@ -198,9 +209,43 @@ def run_euroc_vio_windowed(
     window_costs = []
     window_times = []
     t_solve = 0.0
+    windows_done = 0
+    ckpt_path = None
+    if checkpoint_dir is not None:
+        from libwave_tpu.utils.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        ckpt_path = os.path.join(checkpoint_dir, "windowed_vio.npz")
+        if os.path.exists(ckpt_path):
+            like = {
+                "est_q": est_q, "est_p": est_p, "est_v": est_v,
+                "est_bg": est_bg, "est_ba": est_ba,
+                "solved_upto": np.asarray(0),
+                "windows_done": np.asarray(0),
+                "window_costs": np.zeros(len(starts)),
+            }
+            snap = load_checkpoint(ckpt_path, like)
+            windows_done = int(snap["windows_done"])
+            solved_upto = int(snap["solved_upto"])
+            est_q[:] = np.asarray(snap["est_q"])
+            est_p[:] = np.asarray(snap["est_p"])
+            est_v[:] = np.asarray(snap["est_v"])
+            est_bg[:] = np.asarray(snap["est_bg"])
+            est_ba[:] = np.asarray(snap["est_ba"])
+            window_costs = list(
+                np.asarray(snap["window_costs"])[:windows_done]
+            )
+
+    resumed_at = windows_done
+    stopped_early = False
     # pass 2: sequential build-and-solve — each window's initialization
     # chains off the previous window's solution
     for wi, s in enumerate(starts):
+        if wi < windows_done:
+            continue  # already solved (checkpoint resume)
         pose_idx, lm_idx, uv, M = banks[wi]
         frozen = max(solved_upto - s, 1)
 
@@ -281,35 +326,62 @@ def run_euroc_vio_windowed(
         est_bg[s + frozen : s + W] = np.asarray(state.bg)[frozen:]
         est_ba[s + frozen : s + W] = np.asarray(state.ba)[frozen:]
         solved_upto = s + W
+        windows_done = wi + 1
+        if ckpt_path is not None:
+            costs_arr = np.zeros(len(starts))
+            costs_arr[: len(window_costs)] = window_costs
+            save_checkpoint(ckpt_path, {
+                "est_q": est_q, "est_p": est_p, "est_v": est_v,
+                "est_bg": est_bg, "est_ba": est_ba,
+                "solved_upto": np.asarray(solved_upto),
+                "windows_done": np.asarray(windows_done),
+                "window_costs": costs_arr,
+            })
+        if (stop_after_windows is not None
+                and windows_done - resumed_at >= stop_after_windows
+                and windows_done < len(starts)):
+            stopped_early = True
+            break
 
+    n_solved = solved_upto if stopped_early else N
     t0c = float(cam_times[0])
     gt_traj = Trajectory(
         times=jnp.asarray(np.asarray(gt.times, np.float64) - t0c),
         poses=SE3(q=jnp.asarray(gt.q), t=jnp.asarray(gt.p)),
     )
-    kf_rel = jnp.asarray(np.asarray(cam_times, np.float64) - t0c)
+    kf_rel = jnp.asarray(np.asarray(cam_times[:n_solved], np.float64) - t0c)
     est = Trajectory(
-        times=kf_rel, poses=SE3(q=jnp.asarray(est_q), t=jnp.asarray(est_p))
+        times=kf_rel,
+        poses=SE3(
+            q=jnp.asarray(est_q[:n_solved]), t=jnp.asarray(est_p[:n_solved])
+        ),
     )
     ate, err = absolute_trajectory_error(gt_traj, est)
+    if len(window_times) > 1:
+        t_steady = t_solve - (
+            window_times[0] - float(np.median(window_times[1:]))
+        )
+    else:
+        t_steady = t_solve
+    n_timed = n_solved if window_times else 0
     report = {
         "ate_rmse": float(ate),
         "per_pose_error": np.asarray(err),
         "num_keyframes": N,
+        "num_keyframes_solved": n_solved,
+        "completed": not stopped_early,
         "num_windows": len(starts),
+        "windows_done": windows_done,
         "window": W,
         "overlap": wparams.overlap,
         "window_final_costs": window_costs,
         "solve_seconds": t_solve,
         # the first window's time includes the (single) jit compile; the
         # steady-state rate replaces it with the median of the rest
-        "solve_keyframes_per_s": N / max(
-            t_solve
-            - (window_times[0] - float(np.median(window_times[1:])))
-            if len(window_times) > 1 else t_solve,
-            1e-9,
+        "solve_keyframes_per_s": n_timed / max(t_steady, 1e-9),
+        "solve_keyframes_per_s_including_compile": n_timed / max(
+            t_solve, 1e-9
         ),
-        "solve_keyframes_per_s_including_compile": N / max(t_solve, 1e-9),
         "num_landmarks_padded": M_pad,
     }
     return est, report

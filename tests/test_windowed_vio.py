@@ -60,3 +60,33 @@ def test_single_window_degenerate(mid_root):
     )
     assert rep["num_windows"] == 1
     assert rep["ate_rmse"] < 0.05, rep["ate_rmse"]
+
+
+@pytest.mark.slow
+def test_checkpoint_crash_resume(mid_root, tmp_path):
+    """Crash after 2 of 4 windows -> rerun resumes from the checkpoint and
+    reproduces the uninterrupted result exactly (the chain is
+    deterministic, so resumed == straight-through)."""
+    p = EurocVIOParams()
+    wp = WindowedVIOParams(window=60, overlap=10)
+    ck = str(tmp_path / "ckpt")
+
+    est_full, rep_full = run_euroc_vio_windowed(mid_root, p, wp)
+
+    _, rep_partial = run_euroc_vio_windowed(
+        mid_root, p, wp, checkpoint_dir=ck, stop_after_windows=2
+    )
+    assert not rep_partial["completed"]
+    assert rep_partial["windows_done"] == 2
+    assert rep_partial["num_keyframes_solved"] < rep_full["num_keyframes"]
+
+    est_res, rep_res = run_euroc_vio_windowed(
+        mid_root, p, wp, checkpoint_dir=ck
+    )
+    assert rep_res["completed"]
+    assert rep_res["windows_done"] == rep_full["num_windows"]
+    np.testing.assert_allclose(
+        np.asarray(est_res.poses.t), np.asarray(est_full.poses.t),
+        atol=1e-9,
+    )
+    assert abs(rep_res["ate_rmse"] - rep_full["ate_rmse"]) < 1e-9
