@@ -393,6 +393,64 @@ def bench_ba_batched():
     }
 
 
+def bench_lsh():
+    """FLANN-LSH analog vs the exact matcher at 16k x 16k descriptors:
+    the approximate index's value is sub-linear candidate generation, so
+    report throughput AND recall against the exact ratio-test matches."""
+    import jax
+    import jax.numpy as jnp
+
+    from libwave_tpu.vision import (
+        FLANNParams,
+        build_lsh_index,
+        lsh_match,
+    )
+
+    rng = np.random.default_rng(3)
+    N, W = 16384, 16
+    d2 = rng.integers(0, 2**32, (N, W), dtype=np.uint32)
+    src = rng.integers(0, N, N)
+    d1 = d2[src].copy()
+    flips = rng.integers(0, W * 32, (N, 20))
+    for i in range(N):
+        for b in flips[i]:
+            d1[i, b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+    d1j, d2j = jnp.asarray(d1), jnp.asarray(d2)
+    m = jnp.ones(N, bool)
+
+    p = FLANNParams(bucket_capacity=32)
+    fidx = jax.jit(lambda d: build_lsh_index(d, m, p))
+    index = fidx(d2j)
+    jax.block_until_ready(index)
+    dt_build, index = _time_fn(fidx, d2j)
+    fq = jax.jit(lambda q, ix: lsh_match(q, m, ix, p)[:2])
+    dt_q, (idx2, valid) = _time_fn(fq, d1j, index)
+    recall = float(
+        np.mean((np.asarray(idx2) == src) & np.asarray(valid))
+    )
+
+    from libwave_tpu.ops.hamming import hamming_top2
+
+    fe = jax.jit(lambda a, b: hamming_top2(a, b, m)[2])
+    try:
+        dt_e, _ = _time_fn(fe, d1j, d2j)
+    except Exception:  # fused kernel is TPU-only; XLA matrix path instead
+        from libwave_tpu.vision import hamming_distance_matrix
+
+        fe = jax.jit(
+            lambda a, b: jnp.argmin(
+                hamming_distance_matrix(a, b, m, m), axis=1
+            )
+        )
+        dt_e, _ = _time_fn(fe, d1j, d2j)
+    return {
+        "lsh_16k_matches_per_s": round(N / dt_q, 0),
+        "lsh_16k_index_build_s": round(dt_build, 4),
+        "lsh_16k_recall_planted": round(recall, 4),
+        "lsh_vs_exact_16k_speedup": round(dt_e / dt_q, 2),
+    }
+
+
 def bench_icp():
     """Config 3: multiscale point-to-point ICP on a KITTI-scale synthetic
     scan pair (ring-of-road structure, 4096 points)."""
@@ -965,6 +1023,7 @@ def main():
         ("ba_large", bench_ba_large, ()),
         ("ba_batched", bench_ba_batched, ()),
         ("frontend", bench_frontend, ()),
+        ("lsh", bench_lsh, ()),
         ("icp", bench_icp, ()),
         ("vio", bench_vio, ()),
         ("euroc", bench_euroc, ()),

@@ -28,11 +28,18 @@ from libwave_tpu.vision.descriptor import (  # noqa: F401
     orb_describe,
     orb_describe_pyramid,
 )
+from libwave_tpu.vision.flann import (  # noqa: F401
+    FLANNParams,
+    LSHIndex,
+    build_lsh_index,
+    lsh_match,
+)
 from libwave_tpu.vision.matcher import (  # noqa: F401
     MatcherParams,
     find_fundamental_ransac,
     hamming_distance_matrix,
     match_descriptors,
+    match_ratio_test,
 )
 from libwave_tpu.vision.epipolar import (  # noqa: F401
     decompose_essential,

@@ -1,0 +1,90 @@
+"""LSH approximate matcher (FLANNMatcher parity, flann_matcher.hpp:39-51).
+
+The reference's FLANN usage on binary descriptors is multi-table LSH; the
+TPU-native analog buckets by sampled-bit hash keys and computes Hamming
+distance only over fixed-capacity candidate slices. Contract tested here:
+high recall of the exact knn-ratio matcher at a small fraction of its
+distance computations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libwave_tpu.utils.config import ConfigError, validate
+from libwave_tpu.vision import (
+    FLANNParams,
+    build_lsh_index,
+    hamming_distance_matrix,
+    lsh_match,
+    match_ratio_test,
+)
+
+
+def _planted_bank(rng, n_train=2048, n_query=512, words=16, flips=20):
+    d2 = rng.integers(0, 2**32, (n_train, words), dtype=np.uint32)
+    src = rng.integers(0, n_train, n_query)
+    d1 = d2[src].copy()
+    for i in range(n_query):
+        for _ in range(flips):
+            b = rng.integers(0, words * 32)
+            d1[i, b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+    return jnp.asarray(d1), jnp.asarray(d2), src
+
+
+class TestLSH:
+    def test_param_validation(self):
+        with pytest.raises(ConfigError):
+            validate(FLANNParams(num_tables=0))
+        with pytest.raises(ConfigError):
+            validate(FLANNParams(key_bits=0))
+        with pytest.raises(ConfigError):
+            validate(FLANNParams(bucket_capacity=1))
+        with pytest.raises(ConfigError):
+            validate(FLANNParams(ratio_threshold=1.5))
+
+    def test_high_recall_vs_exact_at_fraction_of_compute(self, rng):
+        d1, d2, src = _planted_bank(rng)
+        m1 = jnp.ones(d1.shape[0], bool)
+        m2 = jnp.ones(d2.shape[0], bool)
+        p = FLANNParams()
+        index = jax.jit(lambda d, m: build_lsh_index(d, m, p))(d2, m2)
+        idx2, valid, diag = jax.jit(
+            lambda q, mq, ix: lsh_match(q, mq, ix, p)
+        )(d1, m1, index)
+        idx2, valid = np.asarray(idx2), np.asarray(valid)
+
+        dist = hamming_distance_matrix(d1, d2, m1, m2)
+        eidx, evalid = match_ratio_test(dist, p.ratio_threshold)
+        exact_recall = ((np.asarray(eidx) == src) & np.asarray(evalid)).mean()
+        lsh_recall = ((idx2 == src) & valid).mean()
+        assert exact_recall > 0.95
+        assert lsh_recall > 0.9 * exact_recall, (lsh_recall, exact_recall)
+        # sub-linear candidate generation: a small fraction of the bank
+        mean_cand = float(np.asarray(diag["num_candidates"]).mean())
+        assert mean_cand < 0.05 * d2.shape[0], mean_cand
+
+    def test_masked_train_rows_never_match(self, rng):
+        d1, d2, src = _planted_bank(rng, n_train=512, n_query=128)
+        m1 = jnp.ones(d1.shape[0], bool)
+        m2 = jnp.zeros(d2.shape[0], bool).at[: 256].set(True)
+        p = FLANNParams()
+        index = build_lsh_index(d2, m2, p)
+        idx2, valid, _ = lsh_match(d1, m1, index, p)
+        matched = np.asarray(idx2)[np.asarray(valid)]
+        assert (matched < 256).all()
+
+    def test_duplicate_candidates_do_not_selfmatch_ratio(self, rng):
+        """A train row reachable through several tables must not defeat
+        the ratio test by appearing as its own second-best."""
+        d2 = rng.integers(0, 2**32, (64, 16), dtype=np.uint32)
+        d1 = jnp.asarray(d2[:8])  # exact copies: best distance 0
+        p = FLANNParams(num_tables=6)
+        index = build_lsh_index(
+            jnp.asarray(d2), jnp.ones(64, bool), p
+        )
+        idx2, valid, _ = lsh_match(d1, jnp.ones(8, bool), index, p)
+        # exact duplicates with random second-best: all should pass
+        assert np.asarray(valid).all()
+        assert (np.asarray(idx2) == np.arange(8)).all()
