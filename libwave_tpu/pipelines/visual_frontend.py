@@ -24,8 +24,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from libwave_tpu.vision.descriptor import BRISKParams, brisk_describe
-from libwave_tpu.vision.detector import FASTParams, detect_fast
+from libwave_tpu.vision.descriptor import (
+    BRISKParams,
+    ORBDescriptorParams,
+    brisk_describe,
+    orb_describe_pyramid,
+)
+from libwave_tpu.vision.detector import (
+    FASTParams,
+    ORBDetectorParams,
+    detect_fast,
+    detect_orb_pyramid,
+)
 from libwave_tpu.vision.matcher import MatcherParams
 from libwave_tpu.vision.tracker import (
     TrackerParams,
@@ -44,12 +54,25 @@ __all__ = [
 
 @dataclasses.dataclass(frozen=True)
 class FrontendParams:
-    """Composed front-end configuration (detector + descriptor + tracker)."""
+    """Composed front-end configuration (detector + descriptor + tracker) —
+    the composition axis of the reference's templated
+    ``Tracker<TDetector, TDescriptor, TMatcher>`` (tracker.hpp:34),
+    expressed as a method switch over the same fixed bank contract.
 
+    ``method``: "fast_brisk" (FAST corners + BRISK descriptors) or "orb"
+    (multi-level oFAST/Harris pyramid + scale-aware rBRIEF)."""
+
+    method: str = "fast_brisk"
     fast: FASTParams = dataclasses.field(
         default_factory=lambda: FASTParams(threshold=20.0, num_features=512)
     )
     brisk: BRISKParams = dataclasses.field(default_factory=BRISKParams)
+    orb: ORBDetectorParams = dataclasses.field(
+        default_factory=lambda: ORBDetectorParams(num_features=512)
+    )
+    orb_desc: ORBDescriptorParams = dataclasses.field(
+        default_factory=ORBDescriptorParams
+    )
     tracker: TrackerParams = dataclasses.field(
         default_factory=lambda: TrackerParams(
             num_features=512, buffer_capacity=65536
@@ -57,15 +80,25 @@ class FrontendParams:
     )
 
     def __post_init__(self):
-        if self.tracker.num_features != self.fast.num_features:
+        if self.method not in ("fast_brisk", "orb"):
+            raise ValueError(f"unknown front-end method {self.method!r}")
+        det = self.fast if self.method == "fast_brisk" else self.orb
+        if self.tracker.num_features != det.num_features:
             raise ValueError(
-                "tracker.num_features must equal fast.num_features "
-                f"({self.tracker.num_features} != {self.fast.num_features})"
+                "tracker.num_features must equal the detector's "
+                f"({self.tracker.num_features} != {det.num_features})"
             )
 
 
 def detect_and_describe(image: jnp.ndarray, params: FrontendParams):
     """One frame's (xy, desc, mask) bank — jit/vmap-able."""
+    if params.method == "orb":
+        xy, _, angle, level, m = detect_orb_pyramid(image, params.orb)
+        desc, m = orb_describe_pyramid(
+            image, xy, angle, level, m,
+            params.orb.scale_factor, params.orb.num_levels, params.orb_desc,
+        )
+        return xy, desc, m
     xy, _, m = detect_fast(image, params.fast)
     desc, m = brisk_describe(image, xy, m, params.brisk)
     return xy, desc, m
@@ -81,6 +114,11 @@ def _frontend_step(state: TrackerState, image, time, key,
 
 
 def _desc_words(params: FrontendParams) -> int:
+    if params.method == "orb":
+        from libwave_tpu.vision.descriptor import _brief_pattern
+
+        a, _ = _brief_pattern(params.orb_desc)
+        return (len(a) + 31) // 32
     from libwave_tpu.vision.descriptor import _brisk_pattern
 
     _, _, short, _ = _brisk_pattern(params.brisk)

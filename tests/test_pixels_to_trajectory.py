@@ -90,6 +90,25 @@ class TestFrontendTracks:
         assert overlap > 0.9, overlap
 
 
+class TestOrbFrontend:
+    def test_method_validation(self):
+        with pytest.raises(ValueError, match="unknown front-end method"):
+            FrontendParams(method="sift")
+
+    @pytest.mark.slow
+    def test_orb_method_tracks(self, sim_root):
+        """The Tracker composition axis (tracker.hpp:34 templating): the
+        same tracker runs over the ORB pyramid front end."""
+        _, paths = load_euroc_camera_index(sim_root)
+        frames = read_image_sequence(paths[:10])
+        tracks = track_sequence(frames, params=FrontendParams(method="orb"))
+        ids = np.unique(tracks[:, 1])
+        assert len(ids) >= 40, len(ids)
+        lengths = np.bincount(tracks[:, 1].astype(int))
+        lengths = lengths[lengths > 0]
+        assert lengths.mean() >= 2.0, lengths.mean()
+
+
 class TestPixelsToTrajectory:
     @pytest.mark.slow
     def test_images_plus_imu_meet_ate_bound(self, sim_root):
