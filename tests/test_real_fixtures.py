@@ -167,6 +167,43 @@ class TestNDTRealScan:
         assert _t_diff(res.transform, T_true) < 0.12
 
 
+class TestGroundSegmentationRealScan:
+    @pytest.mark.slow
+    def test_gp_insac_on_real_scan(self):
+        """GP-INSAC on the real vehicle-lidar scan: the labeled ground
+        must sit clearly below the obstacle mass (the structure synthetic
+        clouds can't provide — slopes, clutter, far returns)."""
+        from libwave_tpu.matching import (
+            GroundSegmentationParams,
+            segment_ground,
+        )
+
+        raw = native.load_pcd(_SCAN)
+        raw = raw[np.isfinite(raw).all(axis=1)]
+        near = raw[
+            (np.linalg.norm(raw[:, :2], axis=1) < 50)
+            & (raw[:, 2] > -5) & (raw[:, 2] < 5)
+        ]
+        ds = native.voxel_downsample_exact(near, 0.25).astype(np.float64)
+        n = 8192
+        pts = np.zeros((n, 3))
+        m = np.zeros(n, bool)
+        k = min(len(ds), n)
+        pts[:k] = ds[:k]
+        m[:k] = True
+        res = segment_ground(
+            make_cloud(jnp.asarray(pts), jnp.asarray(m)),
+            GroundSegmentationParams(rmax=50.0),
+        )
+        g = np.asarray(res.ground_mask)[:k]
+        o = np.asarray(res.obstacle_mask)[:k]
+        z = pts[:k, 2]
+        assert 0.05 <= g.mean() <= 0.6, g.mean()
+        assert o.mean() >= 0.1, o.mean()
+        # ground must be genuinely below the obstacles around it
+        assert z[g].mean() < z[o].mean() - 0.5, (z[g].mean(), z[o].mean())
+
+
 class TestRealImageMatching:
     """BruteForce matcher tests on image_center.png / image_right.png —
     the reference's two-view matcher fixtures
