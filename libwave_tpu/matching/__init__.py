@@ -24,7 +24,10 @@ from libwave_tpu.matching.icp import (  # noqa: F401
 )
 from libwave_tpu.matching.gicp import GICPParams, gicp_match  # noqa: F401
 from libwave_tpu.matching.ndt import NDTParams, ndt_match  # noqa: F401
-from libwave_tpu.matching.multi import multi_match  # noqa: F401
+from libwave_tpu.matching.multi import (  # noqa: F401
+    multi_match,
+    multi_match_sharded,
+)
 from libwave_tpu.matching.ground_segmentation import (  # noqa: F401
     GROUND,
     OBSTACLE,

@@ -208,3 +208,30 @@ class TestMultiMatcher:
         for b in range(B):
             Tb = SE3(q=res.transform.q[b], t=res.transform.t[b])
             assert t_diff(Tb, T_trues[b]) < THRESHOLD
+
+    def test_sharded_over_mesh_matches_vmap(self, scan):
+        """The multi-DEVICE promotion: one registration pair per device of
+        the 8-device mesh, identical results to the single-device vmap."""
+        from jax.sharding import Mesh
+
+        from libwave_tpu.matching import multi_match_sharded
+
+        B = 8
+        shifts = np.linspace(-0.2, 0.2, B)
+        targets = [perturbed(scan, dx=(s, 0.05, 0.0))[0] for s in shifts]
+        refs = jax.tree.map(lambda *xs: jnp.stack(xs), *([scan] * B))
+        tgts = jax.tree.map(lambda *xs: jnp.stack(xs), *targets)
+        params = ICPParams(res=-1.0, multiscale_steps=0, max_iter=20)
+        mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+        res_s = multi_match_sharded(refs, tgts, mesh, params)
+        res_v = multi_match(refs, tgts, params)
+        np.testing.assert_allclose(
+            np.asarray(res_s.transform.t), np.asarray(res_v.transform.t),
+            atol=1e-8,
+        )
+        assert len(res_s.transform.t.sharding.device_set) == 8
+        with pytest.raises(ValueError, match="divide the mesh axis"):
+            multi_match_sharded(
+                jax.tree.map(lambda x: x[:3], refs),
+                jax.tree.map(lambda x: x[:3], tgts), mesh, params,
+            )
