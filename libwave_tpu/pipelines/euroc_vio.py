@@ -21,6 +21,7 @@ import numpy as np
 from libwave_tpu.benchmark.trajectory import (
     Trajectory,
     absolute_trajectory_error,
+    relative_pose_error,
 )
 from libwave_tpu.datasets.euroc import (
     EUROC_CAM0_K,
@@ -333,10 +334,13 @@ def run_euroc_vio(root: str, params: EurocVIOParams = EurocVIOParams(),
 
     est = Trajectory(times=kf_times, poses=SE3(q=state.q, t=state.p))
     ate, err = absolute_trajectory_error(gt_traj, est)
+    rpe_t, rpe_r, _ = relative_pose_error(gt_traj, est, delta=1)
     init_est = Trajectory(times=kf_times, poses=SE3(q=init.q, t=init.p))
     ate0, _ = absolute_trajectory_error(gt_traj, init_est)
     report = {
         "ate_rmse": float(ate),
+        "rpe_trans_rmse": float(rpe_t),
+        "rpe_rot_rmse": float(rpe_r),
         "ate_rmse_deadreckon": float(ate0),
         "per_pose_error": np.asarray(err),
         "final_cost": float(info["final_cost"]),

@@ -37,6 +37,7 @@ import numpy as np
 from libwave_tpu.benchmark.trajectory import (
     Trajectory,
     absolute_trajectory_error,
+    relative_pose_error,
 )
 from libwave_tpu.datasets.euroc import (
     EUROC_CAM0_K,
@@ -357,6 +358,7 @@ def run_euroc_vio_windowed(
         ),
     )
     ate, err = absolute_trajectory_error(gt_traj, est)
+    rpe_t, rpe_r, _ = relative_pose_error(gt_traj, est, delta=1)
     if len(window_times) > 1:
         t_steady = t_solve - (
             window_times[0] - float(np.median(window_times[1:]))
@@ -366,6 +368,8 @@ def run_euroc_vio_windowed(
     n_timed = n_solved if window_times else 0
     report = {
         "ate_rmse": float(ate),
+        "rpe_trans_rmse": float(rpe_t),
+        "rpe_rot_rmse": float(rpe_r),
         "per_pose_error": np.asarray(err),
         "num_keyframes": N,
         "num_keyframes_solved": n_solved,
