@@ -21,6 +21,10 @@ from libwave_tpu.pipelines.windowed_vio import (  # noqa: F401
     WindowedVIOParams,
     run_euroc_vio_windowed,
 )
+from libwave_tpu.pipelines.windowed_ba import (  # noqa: F401
+    WindowedBAParams,
+    solve_ba_windowed,
+)
 from libwave_tpu.pipelines.visual_frontend import (  # noqa: F401
     FrontendParams,
     detect_and_describe,
