@@ -17,10 +17,15 @@ Problem construction is pure numpy on the host: through a remote TPU tunnel
 every extra compile costs minutes and large device->host fetches can fail, so
 the device sees one program per timed benchmark.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+Prints ONE compact JSON line: {"metric", "value", "unit", "vs_baseline",
+"headline", "full_record"} — the complete record (all extras +
+denominators) is written to BENCH_full.json in the repo, because the
+driver keeps only the tail of stdout and a giant single-line JSON gets
+truncated (the fate of BENCH_r03).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -739,15 +744,80 @@ def bench_euroc_long():
     with tempfile.TemporaryDirectory() as root:
         generate_euroc_sequence(root, sim, seed=0)
         est, rep = run_euroc_vio_windowed(
-            root, EurocVIOParams(), WindowedVIOParams(window=80, overlap=10)
+            root, EurocVIOParams(),
+            WindowedVIOParams(window=80, overlap=10, mode="marginalize"),
+        )
+        # ablation: the r3 frozen-anchor chain on the identical sequence
+        _, rep_f = run_euroc_vio_windowed(
+            root, EurocVIOParams(),
+            WindowedVIOParams(window=80, overlap=10, mode="freeze"),
         )
     return {
         "euroc_long_keyframes": rep["num_keyframes"],
         "euroc_long_windows": rep["num_windows"],
         "euroc_long_ate_rmse_m": round(rep["ate_rmse"], 4),
+        "euroc_long_rpe_trans_rmse_m": round(rep["rpe_trans_rmse"], 4),
         "euroc_long_solve_keyframes_per_s": round(
             rep["solve_keyframes_per_s"], 2
         ),
+        "euroc_long_marginalization_s": round(
+            rep["marginalization_seconds"], 2
+        ),
+        "euroc_long_ate_rmse_m_freeze_ablation": round(rep_f["ate_rmse"], 4),
+        "euroc_long_freeze_solve_keyframes_per_s": round(
+            rep_f["solve_keyframes_per_s"], 2
+        ),
+    }
+
+
+def bench_euroc_mh01_scale():
+    """The north star at MH_01 LENGTH: ~3,640 keyframes (182 s at 20 Hz
+    camera, 200 Hz IMU) through the windowed marginalizing solver — the
+    same keyframe count / duration / rates as the real EuRoC MH_01
+    sequence (which is not mountable in this environment; the sequence
+    here is the repo's own ASL-format simulator, recorded as such in
+    `denominators`). Survives ~34 chained windows with checkpointing
+    disabled; reports ATE/RPE, steady-state keyframe rate, and peak host
+    RSS."""
+    import resource
+    import tempfile
+
+    from libwave_tpu.pipelines import (
+        EurocVIOParams,
+        WindowedVIOParams,
+        run_euroc_vio_windowed,
+    )
+    from libwave_tpu.sim import EurocSimParams, generate_euroc_sequence
+
+    sim = EurocSimParams(
+        duration=182.0, cam_hz=20.0, imu_hz=200.0, nb_landmarks=900
+    )
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as root:
+        generate_euroc_sequence(root, sim, seed=0)
+        t_gen = time.time() - t0
+        est, rep = run_euroc_vio_windowed(
+            root, EurocVIOParams(),
+            WindowedVIOParams(window=120, overlap=12, mode="marginalize"),
+        )
+    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    return {
+        "euroc_mh01_scale_keyframes": rep["num_keyframes"],
+        "euroc_mh01_scale_duration_s": sim.duration,
+        "euroc_mh01_scale_windows": rep["num_windows"],
+        "euroc_mh01_scale_ate_rmse_m": round(rep["ate_rmse"], 4),
+        "euroc_mh01_scale_rpe_trans_rmse_m": round(
+            rep["rpe_trans_rmse"], 4
+        ),
+        "euroc_mh01_scale_solve_keyframes_per_s": round(
+            rep["solve_keyframes_per_s"], 2
+        ),
+        "euroc_mh01_scale_solve_wall_s": round(rep["solve_seconds"], 2),
+        "euroc_mh01_scale_marginalization_s": round(
+            rep["marginalization_seconds"], 2
+        ),
+        "euroc_mh01_scale_generation_s": round(t_gen, 1),
+        "euroc_mh01_scale_peak_host_rss_gb": round(peak_rss_gb, 2),
     }
 
 
@@ -1055,6 +1125,7 @@ def main():
         ("vio", bench_vio, ()),
         ("euroc", bench_euroc, ()),
         ("euroc_long", bench_euroc_long, ()),
+        ("euroc_mh01_scale", bench_euroc_mh01_scale, ()),
         ("pixels", bench_pixels, ()),
         ("pp_overlap", bench_pp_overlap, ()),
     ):
@@ -1090,6 +1161,11 @@ def main():
                          "the accepted cost of the f32_matmuls precision "
                          "fix (EuRoC ATE 0.23 m -> 0.0038 m on-chip); not "
                          "a regression to chase",
+        "euroc_mh01_scale": "real EuRoC MH_01 is not mountable in this "
+                            "environment (zero egress); the MH_01-scale "
+                            "run uses the repo's ASL-format simulator at "
+                            "the real sequence's length/rates (182 s, "
+                            "20 Hz cam, 200 Hz IMU, ~3640 keyframes)",
     }
 
     # CPU denominator (reference-class hardware), same computation. Fewer
@@ -1113,14 +1189,62 @@ def main():
         _log(f"cpu denominator unavailable: {e!r}")
 
     vs = device_rate / cpu_rate if cpu_rate else 1.0
+    record = {
+        "metric": f"ba_lm_iterations_per_s_10k_landmarks_{backend}",
+        "value": round(device_rate, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(vs, 3),
+        "extras": extras,
+    }
+    # Full record -> repo file: the driver captures only the TAIL of
+    # stdout, so a single giant JSON line gets truncated mid-object and
+    # the evidence is lost (exactly what happened to BENCH_r03). The
+    # artifact lives in BENCH_full.json; the final stdout line is a
+    # compact headline subset that always parses.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+        f.write("\n")
+    _log(f"full record -> {full_path}")
+
+    headline_keys = [
+        "ba_lm_iterations_per_s_100k_landmarks",
+        "ba_100k_achieved_gbps",
+        "ba_100k_hbm_roofline_fraction",
+        "ba_achieved_gbps",
+        "ba_hbm_roofline_fraction",
+        "ba_batched8_iter_per_s",
+        "ba_batched8_speedup",
+        "vio_keyframes_per_s",
+        "vio_batched8_keyframes_per_s",
+        "icp_scan_pairs_per_s",
+        "icp_vs_numpy_cpu",
+        "frontend_pairs_per_s",
+        "pixels_frontend_frames_per_s",
+        "lsh_16k_matches_per_s",
+        "euroc_ate_rmse_m",
+        "euroc_long_ate_rmse_m",
+        "euroc_long_ate_rmse_m_freeze_ablation",
+        "euroc_long_solve_keyframes_per_s",
+        "euroc_mh01_scale_keyframes",
+        "euroc_mh01_scale_ate_rmse_m",
+        "euroc_mh01_scale_solve_keyframes_per_s",
+        "pp_overlap_speedup",
+        "dist_model_vs_hlo_ratio",
+        "dist_predicted_scaling_eff_8chip",
+    ]
+    headline = {k: extras[k] for k in headline_keys if k in extras}
     print(
         json.dumps(
             {
-                "metric": f"ba_lm_iterations_per_s_10k_landmarks_{backend}",
-                "value": round(device_rate, 3),
-                "unit": "iter/s",
-                "vs_baseline": round(vs, 3),
-                "extras": extras,
+                "metric": record["metric"],
+                "value": record["value"],
+                "unit": record["unit"],
+                "vs_baseline": record["vs_baseline"],
+                "headline": headline,
+                "full_record": "BENCH_full.json",
             }
         )
     )

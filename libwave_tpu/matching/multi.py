@@ -49,8 +49,8 @@ def multi_match_sharded(refs: PointCloud, targets: PointCloud, mesh: Mesh,
     n_dev = int(mesh.shape[axis_name])
     if B % n_dev != 0:
         raise ValueError(
-            f"batch of {B} pairs must divide the mesh axis '{axis_name}' "
-            f"({n_dev} devices); pad with masked pairs"
+            f"batch of {B} pairs must be divisible by the {n_dev} devices "
+            f"on mesh axis '{axis_name}'; pad with masked pairs"
         )
     sh = NamedSharding(mesh, P(axis_name))
 

@@ -58,6 +58,15 @@ class BAProblem(NamedTuple):
     between: object = None  # BetweenBank | None
     priors: object = None  # PriorBank | None
     ell: object = None  # schur.EllLayout | None (pose-ELL fast path)
+    # Dense marginal prior on the HEAD O poses (sliding-window
+    # marginalization, pipelines.windowed_ba — see
+    # pipelines.vio.VIOProblem.prior_Lambda for the VIO analog): cost
+    # 0.5 d^T Lambda d - b^T d with d the (O*6,) tangent delta
+    # [omega, dp] of poses [0, O) from the prior mean.
+    prior_Lambda: jnp.ndarray = None  # (O*6, O*6)
+    prior_b: jnp.ndarray = None  # (O*6,)
+    prior_q: jnp.ndarray = None  # (O, 4) mean orientations
+    prior_p: jnp.ndarray = None  # (O, 3) mean positions
 
     @property
     def num_poses(self) -> int:
@@ -163,6 +172,49 @@ def _huber_rho(sq_norm, delta):
     )
 
 
+def _prior_delta(problem: BAProblem, state: BAState) -> jnp.ndarray:
+    """Tangent delta (O*6,) of the head poses from the prior mean, in
+    retraction order [omega, dp] (first-order identity Jacobian — the
+    standard marginalization-prior linearization)."""
+    O = problem.prior_q.shape[0]
+    return jnp.concatenate(
+        [
+            so3.quat_boxminus(state.q[:O], problem.prior_q),
+            state.p[:O] - problem.prior_p,
+        ],
+        axis=-1,
+    ).reshape(-1)
+
+
+def _prior_cost(problem: BAProblem, state: BAState) -> jnp.ndarray:
+    d = _prior_delta(problem, state)
+    c = 0.5 * d @ (problem.prior_Lambda @ d)
+    if problem.prior_b is not None:
+        c = c - problem.prior_b @ d
+    return c
+
+
+def _prior_terms(problem: BAProblem, state: BAState):
+    """Normal-equation contributions of the dense head prior: per-pose
+    diagonal blocks, upper-triangle cross couplings, and the rhs."""
+    import numpy as onp
+
+    O = problem.prior_q.shape[0]
+    Lam4 = problem.prior_Lambda.reshape(O, 6, O, 6)
+    diag = Lam4[jnp.arange(O), :, jnp.arange(O), :]  # (O, 6, 6)
+    iu, ju = onp.triu_indices(O, k=1)
+    C = Lam4[iu, :, ju, :]
+    d = _prior_delta(problem, state)
+    g = -(problem.prior_Lambda @ d)
+    if problem.prior_b is not None:
+        g = g + problem.prior_b
+    return (
+        diag,
+        (C, jnp.asarray(iu, jnp.int32), jnp.asarray(ju, jnp.int32)),
+        g.reshape(O, 6),
+    )
+
+
 def _local_pose_view(state: BAState, num_poses: int, axis_name: str | None):
     """(q, p, nb) for the ELL bank: the full state single-device, or this
     device's contiguous pose block when sharded (the bank is local)."""
@@ -206,14 +258,20 @@ def ba_cost(problem: BAProblem, state: BAState,
     )
     if axis_name is not None:
         c = jax.lax.psum(c, axis_name)
-    return c + pose_graph.pose_graph_cost(
+    c = c + pose_graph.pose_graph_cost(
         state.q, state.p, problem.between, problem.priors
     )
+    if problem.prior_Lambda is not None:
+        c = c + _prior_cost(problem, state)
+    return c
 
 
-def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _,
-                  axis_name: str | None = None):
-    state, lam, cost, converged = carry
+def _linearize_ba(problem: BAProblem, state: BAState, lam,
+                  huber_delta: float | None = None,
+                  axis_name: str | None = None) -> schur.SchurBlocks:
+    """Linearize every factor (reprojection + pose-graph + marginal head
+    prior) at ``state`` and assemble damped normal-equation blocks. Shared
+    by the LM iteration and by :func:`ba_reduced_hessian` (``lam=0``)."""
     N = problem.free_pose.shape[0]
     M = state.lm.shape[0]
 
@@ -231,10 +289,10 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _,
             problem.pose_idx, problem.lm_idx, problem.uv.T,
         )
         w = problem.weight * valid.astype(r.dtype)
-    if cfg.huber_delta is not None:
+    if huber_delta is not None:
         # IRLS weight rho'(r)/|r| = min(1, delta/|r|)
         rn = jnp.sqrt(jnp.maximum(r[0] * r[0] + r[1] * r[1], 1e-20))
-        w = w * jnp.minimum(1.0, cfg.huber_delta / rn)
+        w = w * jnp.minimum(1.0, huber_delta / rn)
 
     # pose-graph factor contributions (odometry between-factors + priors)
     extra_Hpp = None
@@ -267,12 +325,53 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _,
         extra_Hpp = add_H if extra_Hpp is None else extra_Hpp + add_H
         extra_bp = add_b if extra_bp is None else extra_bp + add_b
 
-    blocks = schur.build_normal_equations(
+    if problem.prior_Lambda is not None:
+        O = problem.prior_q.shape[0]
+        dtype = r.dtype
+        Hp_add, (Cp, cpi, cpj), bp_add = _prior_terms(problem, state)
+        if extra_Hpp is None:
+            extra_Hpp = jnp.zeros((N, 6, 6), dtype)
+            extra_bp = jnp.zeros((N, 6), dtype)
+        extra_Hpp = extra_Hpp.at[:O].add(Hp_add)
+        extra_bp = extra_bp.at[:O].add(bp_add)
+        if couplings is None:
+            couplings = (Cp, cpi, cpj)
+        else:
+            C0, ci0, cj0 = couplings
+            couplings = (
+                jnp.concatenate([C0, Cp]),
+                jnp.concatenate([ci0, cpi]),
+                jnp.concatenate([cj0, cpj]),
+            )
+
+    return schur.build_normal_equations(
         r, J_pose, J_lm, w, problem.pose_idx, problem.lm_idx,
         N, M, lam, problem.free_pose,
         extra_Hpp=extra_Hpp, extra_bp=extra_bp, couplings=couplings,
         ell=problem.ell, axis_name=axis_name,
     )
+
+
+@f32_matmuls
+def ba_reduced_hessian(problem: BAProblem, state: BAState,
+                       huber_delta: float | None = None):
+    """Dense landmark-eliminated (reduced) Hessian + rhs of the BA graph at
+    ``state``, undamped: ``(H (N*6, N*6), b (N*6,))`` with ``b = -grad``.
+    The window-marginalization primitive (pipelines.windowed_ba); no gauge
+    projection beyond ``free_pose`` is applied."""
+    blocks = _linearize_ba(problem, state, 0.0, huber_delta, None)
+    S = schur.dense_reduced_system(blocks)
+    b = schur.schur_rhs(blocks)
+    N = b.shape[0]
+    return S.reshape(N * 6, N * 6), b.reshape(-1)
+
+
+def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _,
+                  axis_name: str | None = None):
+    state, lam, cost, converged = carry
+    N = problem.free_pose.shape[0]
+    M = state.lm.shape[0]
+    blocks = _linearize_ba(problem, state, lam, cfg.huber_delta, axis_name)
     rhs = schur.schur_rhs(blocks)
     if _use_dense_schur(
         cfg, N, 6, 6, M, jnp.dtype(rhs.dtype).itemsize, axis_name

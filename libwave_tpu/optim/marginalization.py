@@ -1,0 +1,70 @@
+"""Schur-complement marginalization for sliding-window solvers.
+
+The reference keeps every solve global (GTSAM/Ceres over the whole graph,
+wave_gtsam/tests/gtsam/gtsam_offline_example.cpp:133) and only the
+*tracker* windows (tracker.hpp:103-114). This framework windows the solver
+itself (pipelines.windowed_vio / windowed_ba); what makes that statistically
+sound — rather than a hard-anchor approximation — is carrying the
+marginal of the out-of-window states forward as a dense prior:
+
+    given the window's reduced (landmark-eliminated) Hessian H and rhs
+    b = -grad at the solution, partition states into out `o` (leaving the
+    window) and keep `k` (the overlap carried into the next window), then
+
+        Lambda = H_kk - H_ko H_oo^-1 H_ok
+        b_m    = b_k  - H_ko H_oo^-1 b_o
+
+    is exactly the information the discarded states (and their factors)
+    imply about the kept ones. The next window adds
+    ``0.5 d^T Lambda d - b_m^T d`` over the head-state tangent delta d
+    (pipelines.vio.VIOProblem.prior_Lambda), making the chain a fixed-lag
+    smoother instead of frozen-anchor odometry.
+
+Split of labor: H/b are built ON DEVICE by the jitted reduced-Hessian
+primitives (pipelines.vio.vio_reduced_hessian, optim.ba.ba_reduced_hessian
+— one executable reused every window); the complement itself runs here on
+the HOST in float64 — it happens once per window on a (W*D)^2 matrix, is
+latency- not throughput-bound, and the subtraction cancels catastrophically
+in f32 when the IMU chain makes H stiff.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["schur_marginalize"]
+
+
+def schur_marginalize(H, b, keep_dim: int, rel_eps: float = 1e-9):
+    """Marginalize all but the LAST ``keep_dim`` coordinates of (H, b).
+
+    ``H`` (n, n) symmetric PSD information matrix, ``b`` (n,) rhs (-grad),
+    both in tangent coordinates at the linearization point. Returns
+    ``(Lambda (keep_dim, keep_dim), b_m (keep_dim,))``, with ``Lambda``
+    projected to PSD (negative curvature from f32 accumulation clipped,
+    ``b_m`` projected onto the surviving range so no unbounded linear
+    terms leak into the next window).
+    """
+    H = np.asarray(H, np.float64)
+    b = np.asarray(b, np.float64)
+    n = H.shape[0]
+    cut = n - keep_dim
+    if cut <= 0:
+        return H.copy(), b.copy()
+    Hoo = H[:cut, :cut]
+    Hok = H[:cut, cut:]
+    # scaled ridge keeps H_oo factorizable when a direction is barely
+    # constrained (it only ever weakens the resulting prior)
+    eps = rel_eps * max(float(np.trace(Hoo)) / cut, 1.0)
+    Hoo = Hoo + eps * np.eye(cut)
+    sol = np.linalg.solve(Hoo, np.concatenate([Hok, b[:cut, None]], axis=1))
+    Lam = H[cut:, cut:] - Hok.T @ sol[:, :keep_dim]
+    b_m = b[cut:] - Hok.T @ sol[:, -1]
+    Lam = 0.5 * (Lam + Lam.T)
+
+    w, V = np.linalg.eigh(Lam)
+    keep = w > max(float(w.max()), 0.0) * 1e-12
+    Vk = V[:, keep]
+    Lam = (Vk * w[keep]) @ Vk.T
+    b_m = Vk @ (Vk.T @ b_m)
+    return Lam, b_m

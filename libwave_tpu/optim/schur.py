@@ -664,26 +664,19 @@ def _sym3_full(s):
     return out  # (M, 3, 3)
 
 
-def dense_schur_solve(blocks: SchurBlocks, b: jnp.ndarray) -> jnp.ndarray:
-    """Explicit reduced camera system + dense Cholesky — the TPU analog of
-    Ceres' DENSE_SCHUR, and the fast path for small/medium pose counts.
+def dense_reduced_system(blocks: SchurBlocks) -> jnp.ndarray:
+    """Materialize the reduced camera matrix S = Hpp - U Hll^-1 U^T plus
+    pose-pose couplings as one dense (N, D, N, D) tensor.
 
-    The matrix-free PCG above is gather/VPU-bound and, on stiff
-    chain-coupled graphs (VIO), needs O(N) iterations for block-Jacobi to
-    propagate information. Here S = Hpp - U Hll^-1 U^T is materialized
-    instead: U rides in a dense (N*Dj, 3M) scatter G, the subtraction is a
-    single MXU matmul A @ G^T with A = G Hll^-1, and the (N*D)^2 system
-    solves by Cholesky. For N*D in the hundreds-to-few-thousands this is
-    one large matmul versus tens of serial CG sweeps. Memory: G is
-    4*N*Dj*3M bytes — the auto solver switch (optim.ba) gates on it.
-
-    Not usable in sharded ELL mode (S couples poses across devices through
-    shared landmarks); the caller keeps PCG there.
-
-    x: (N, D) solution of S x = b with gauge-fixed coordinates pinned.
+    U rides in a dense (N*Dj, 3M) scatter G; the subtraction is a single
+    MXU matmul A @ G^T with A = G Hll^-1. No gauge projection is applied —
+    :func:`dense_schur_solve` adds it for solving, while marginalization
+    callers (pipelines.windowed_vio/_ba) consume the raw system. Memory:
+    G is itemsize*N*Dj*3M bytes — the auto solver switch (optim.ba) gates
+    on it.
     """
     if blocks.axis_name is not None:
-        raise ValueError("dense_schur_solve is single-device only")
+        raise ValueError("dense_reduced_system is single-device only")
     D = blocks.bp.shape[1]
     N = blocks.Hpp.shape[0]
     M = blocks.bl.shape[-1]
@@ -716,7 +709,7 @@ def dense_schur_solve(blocks: SchurBlocks, b: jnp.ndarray) -> jnp.ndarray:
     S = jnp.zeros((N, D, N, D), dtype)
     sub4 = S_sub.reshape(N, Dj, N, Dj)
     S = S.at[:, :Dj, :, :Dj].add(-sub4)
-    # pose diagonal blocks (already damped) on the block diagonal
+    # pose diagonal blocks (damped as built) on the block diagonal
     S = S.at[jnp.arange(N), :, jnp.arange(N), :].add(blocks.Hpp)
     # pose-pose couplings (between/IMU factors)
     if blocks.C.shape[0] > 0:
@@ -724,6 +717,28 @@ def dense_schur_solve(blocks: SchurBlocks, b: jnp.ndarray) -> jnp.ndarray:
         S = S.at[blocks.cj, :, blocks.ci, :].add(
             jnp.swapaxes(blocks.C, -1, -2)
         )
+    return S
+
+
+def dense_schur_solve(blocks: SchurBlocks, b: jnp.ndarray) -> jnp.ndarray:
+    """Explicit reduced camera system + dense Cholesky — the TPU analog of
+    Ceres' DENSE_SCHUR, and the fast path for small/medium pose counts.
+
+    The matrix-free PCG above is gather/VPU-bound and, on stiff
+    chain-coupled graphs (VIO), needs O(N) iterations for block-Jacobi to
+    propagate information. Here S from :func:`dense_reduced_system` solves
+    by Cholesky: for N*D in the hundreds-to-few-thousands this is one
+    large matmul versus tens of serial CG sweeps.
+
+    Not usable in sharded ELL mode (S couples poses across devices through
+    shared landmarks); the caller keeps PCG there.
+
+    x: (N, D) solution of S x = b with gauge-fixed coordinates pinned.
+    """
+    D = blocks.bp.shape[1]
+    N = blocks.Hpp.shape[0]
+    dtype = blocks.bp.dtype
+    S = dense_reduced_system(blocks)
 
     # gauge projection: pinned coordinates get identity rows/cols
     if blocks.free_pose.ndim == 1:

@@ -89,10 +89,13 @@ def _preintegrate_intervals(imu, cam_times, N, params):
     return pim_stack, sqrt_infos
 
 
-def _track_bank(tracks, N, min_track_length, frame_offset=0):
+def _track_bank(tracks, N, min_track_length, frame_offset=0,
+                return_raw=False):
     """(frame, id, u, v) rows -> dense-id observation bank over keyframes
     [frame_offset, frame_offset + N), sorted by frame. Returns
-    (pose_idx, lm_idx, uv, M)."""
+    (pose_idx, lm_idx, uv, M), plus the per-observation ORIGINAL track id
+    when ``return_raw`` (the windowed solvers track landmark identity
+    across windows with it)."""
     frames = tracks[:, 0].astype(np.int64) - frame_offset
     keep = (frames >= 0) & (frames < N)
     frames = frames[keep]
@@ -109,12 +112,15 @@ def _track_bank(tracks, N, min_track_length, frame_offset=0):
     M = len(uniq2)
 
     order = np.argsort(frames, kind="stable")
-    return (
+    out = (
         frames[order].astype(np.int32),
         lm_ids[order].astype(np.int32),
         uv_all[order],
         M,
     )
+    if return_raw:
+        return out + (uniq[inv][order],)
+    return out
 
 
 def _camera_P_mats(qs, ps, Kmat, qbc):

@@ -86,6 +86,20 @@ class VIOProblem(NamedTuple):
     ell: object = None  # schur.EllLayout (pose-ELL fast path)
     pixel_sigma: float = 1.0
     gravity: tuple = (0.0, 0.0, -9.81)
+    # Dense marginal prior on the HEAD O keyframes (sliding-window
+    # marginalization, pipelines.windowed_vio): cost 0.5 d^T Lambda d -
+    # b^T d with d the (O*15,) tangent delta of states [0, O) from the
+    # prior mean, in retract() order [omega, dp, dv, dbg, dba]. The
+    # reference's GTSAM solves keep the whole graph instead
+    # (gtsam_offline_example.cpp:133); the prior is what lets bounded
+    # windows carry the information a global solve would retain.
+    prior_Lambda: jnp.ndarray = None  # (O*15, O*15)
+    prior_b: jnp.ndarray = None  # (O*15,) reduced gradient at the mean
+    prior_q: jnp.ndarray = None  # (O, 4) mean orientations
+    prior_p: jnp.ndarray = None  # (O, 3)
+    prior_v: jnp.ndarray = None  # (O, 3)
+    prior_bg: jnp.ndarray = None  # (O, 3)
+    prior_ba: jnp.ndarray = None  # (O, 3)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -195,6 +209,54 @@ def _camera_quats(problem, q_body):
     return so3.quat_multiply(q_body, problem.q_BC)
 
 
+def _prior_delta(problem: VIOProblem, state: VIOState) -> jnp.ndarray:
+    """Tangent delta (O*15,) of the head states from the prior mean, in
+    retract() coordinate order. First-order (identity) Jacobian — the
+    standard marginalization-prior linearization; the overlap states move
+    little between windows so the O(|d|^2) error is negligible."""
+    O = problem.prior_q.shape[0]
+    return jnp.concatenate(
+        [
+            so3.quat_boxminus(state.q[:O], problem.prior_q),
+            state.p[:O] - problem.prior_p,
+            state.v[:O] - problem.prior_v,
+            state.bg[:O] - problem.prior_bg,
+            state.ba[:O] - problem.prior_ba,
+        ],
+        axis=-1,
+    ).reshape(-1)
+
+
+def _prior_cost(problem: VIOProblem, state: VIOState) -> jnp.ndarray:
+    d = _prior_delta(problem, state)
+    c = 0.5 * d @ (problem.prior_Lambda @ d)
+    if problem.prior_b is not None:
+        c = c - problem.prior_b @ d
+    return c
+
+
+def _prior_terms(problem: VIOProblem, state: VIOState):
+    """Normal-equation contributions of the dense head prior: per-keyframe
+    diagonal blocks, upper-triangle cross couplings, and the rhs. Returns
+    (Hpp_add (O, D, D), (C, ci, cj), bp_add (O, D))."""
+    import numpy as onp
+
+    O = problem.prior_q.shape[0]
+    Lam4 = problem.prior_Lambda.reshape(O, D, O, D)
+    diag = Lam4[jnp.arange(O), :, jnp.arange(O), :]  # (O, D, D)
+    iu, ju = onp.triu_indices(O, k=1)
+    C = Lam4[iu, :, ju, :]  # (O*(O-1)/2, D, D)
+    d = _prior_delta(problem, state)
+    g = -(problem.prior_Lambda @ d)
+    if problem.prior_b is not None:
+        g = g + problem.prior_b
+    return (
+        diag,
+        (C, jnp.asarray(iu, jnp.int32), jnp.asarray(ju, jnp.int32)),
+        g.reshape(O, D),
+    )
+
+
 def vio_cost(problem: VIOProblem, state: VIOState,
              axis_name: str | None = None,
              huber_delta: float | None = None) -> jnp.ndarray:
@@ -236,12 +298,18 @@ def vio_cost(problem: VIOProblem, state: VIOState,
         si = problem.bias_prior_sqrt_info
         rp = jnp.concatenate([state.bg, state.ba], axis=-1) * si
         c = c + 0.5 * jnp.sum(rp * rp)
+    if problem.prior_Lambda is not None:
+        c = c + _prior_cost(problem, state)
     return c
 
 
-def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
-                   axis_name: str | None = None):
-    state, lam, cost = carry
+def _linearize_vio(problem: VIOProblem, state: VIOState, lam,
+                   huber_delta: float | None = None,
+                   axis_name: str | None = None) -> schur.SchurBlocks:
+    """Linearize every factor (reprojection + IMU + bias walk + bias prior
+    + marginal head prior) at ``state`` and assemble damped normal-equation
+    blocks. Shared by the LM iteration and by
+    :func:`vio_reduced_hessian` (marginalization, with ``lam=0``)."""
     N = problem.free_pose.shape[0]
     M = state.lm.shape[0]
     dtype = state.p.dtype
@@ -285,12 +353,12 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
         * valid.astype(dtype)
         / problem.pixel_sigma**2
     )
-    if cfg.huber_delta is not None:
+    if huber_delta is not None:
         # IRLS weight rho'(s)/1 = min(1, delta/|r_white|)
         rn = jnp.sqrt(
             jnp.maximum(r[0] * r[0] + r[1] * r[1], 1e-20)
         ) / problem.pixel_sigma
-        w = w * jnp.minimum(1.0, cfg.huber_delta / rn)
+        w = w * jnp.minimum(1.0, huber_delta / rn)
 
     # IMU + bias-walk factors -> diagonal contributions + couplings;
     # the IMU jacfwd linearization is sharded over the mesh (EP placement)
@@ -313,7 +381,7 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
         - jnp.einsum("fij,fj->fi", BjT, r_bw),
         bj, num_segments=N,
     )
-    couplings = (JiT @ Jj + BiT @ Bj, bi, bj)
+    C_bank, ci_bank, cj_bank = JiT @ Jj + BiT @ Bj, bi, bj
 
     if problem.bias_prior_sqrt_info is not None:
         si = problem.bias_prior_sqrt_info
@@ -325,12 +393,46 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
             [jnp.zeros((N, 9), dtype), rp * si2], axis=-1
         )
 
-    blocks = schur.build_normal_equations(
+    if problem.prior_Lambda is not None:
+        O = problem.prior_q.shape[0]
+        Hp_add, (Cp, cpi, cpj), bp_add = _prior_terms(problem, state)
+        extra_Hpp = extra_Hpp.at[:O].add(Hp_add)
+        extra_bp = extra_bp.at[:O].add(bp_add)
+        C_bank = jnp.concatenate([C_bank, Cp])
+        ci_bank = jnp.concatenate([ci_bank, cpi])
+        cj_bank = jnp.concatenate([cj_bank, cpj])
+
+    return schur.build_normal_equations(
         r, J6, J_lm, w, problem.pose_idx, problem.lm_idx,
         N, M, lam, problem.free_pose,
-        extra_Hpp=extra_Hpp, extra_bp=extra_bp, couplings=couplings,
+        extra_Hpp=extra_Hpp, extra_bp=extra_bp,
+        couplings=(C_bank, ci_bank, cj_bank),
         ell=problem.ell, pose_dim=D, axis_name=axis_name,
     )
+
+
+@f32_matmuls
+def vio_reduced_hessian(problem: VIOProblem, state: VIOState,
+                        huber_delta: float | None = None):
+    """Dense landmark-eliminated (reduced) Hessian + gradient-side rhs of
+    the full VIO graph at ``state``, undamped: ``(H (N*D, N*D), b (N*D,))``
+    with ``b = -grad``. This is the window-marginalization primitive
+    (pipelines.windowed_vio): marginalizing states out of H/b yields the
+    Schur-complement prior the next window carries. jit-able; no gauge
+    projection is applied (callers anchor via the prior chain)."""
+    blocks = _linearize_vio(problem, state, 0.0, huber_delta, None)
+    S = schur.dense_reduced_system(blocks)
+    b = schur.schur_rhs(blocks)
+    N = b.shape[0]
+    return S.reshape(N * D, N * D), b.reshape(-1)
+
+
+def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
+                   axis_name: str | None = None):
+    state, lam, cost = carry
+    N = problem.free_pose.shape[0]
+    M = state.lm.shape[0]
+    blocks = _linearize_vio(problem, state, lam, cfg.huber_delta, axis_name)
     rhs = schur.schur_rhs(blocks)
     from libwave_tpu.optim.ba import _use_dense_schur
 

@@ -6,33 +6,38 @@ promotion of the reference's offline KITTI example
 + noisy odometry between-factors + priors, solved as ONE global graph).
 A global solve works at 238 frames; at thousands it needs bounded windows:
 
-- fixed-size keyframe windows with overlap marching down the sequence;
-- window ``w``'s frozen head carries the previous window's estimates; the
-  tail initializes from the caller's full-trajectory initial poses,
-  *anchor-corrected*: the rigid transform taking the provided init to the
-  solved chain at the anchor frame is applied to the tail, so the init's
-  global drift never re-enters a later window;
+- fixed-size keyframe windows with ``overlap`` shared frames marching down
+  the sequence by ``window - overlap``;
+- **marginalization mode (default)**: after each window solves, the
+  out-of-window poses and their factors — the FULL live tracks of every
+  landmark touching an out-frame (overlap observations included, so
+  cross-boundary baselines survive; those observations are then excluded
+  from the next window, see windowed_vio._marg_obs_split),
+  between-factors reaching out of the overlap, window-0 priors, and the
+  incoming prior — are Schur-complement marginalized onto the overlap
+  poses (optim.marginalization); the next window carries that dense
+  (O*6)^2 prior on its head poses (optim.ba.BAProblem.prior_Lambda) with
+  every pose free — a fixed-lag smoother. No measurement is counted
+  twice: overlap-only landmarks and overlap-internal between-factors
+  flow into the next window instead;
+- **freeze mode (ablation)**: round-3 behavior — the head poses are
+  hard-frozen at the previous window's estimates (bounded-drift
+  odometry);
+- window ``w``'s tail initializes from the caller's full-trajectory
+  initial poses, *anchor-corrected*: the rigid transform taking the
+  provided init to the solved chain at the anchor frame is applied to the
+  tail, so the init's global drift never re-enters a later window;
 - per-window landmarks re-triangulate from the corrected init (gated DLT,
   the shared euroc_vio machinery with an identity camera extrinsic);
-- odometry between-factors slice per window (cross-window factors land in
-  the window holding both endpoints' frames via the overlap); global pose
-  priors apply to window 0 only — later windows' gauge is the frozen head;
 - every window pads to common (Pmax, M, shift-pass, factor-count)
-  dimensions: ONE jit executable serves the whole sequence.
-
-Accuracy regime (measured): on well-conditioned windows the chain adds no
-error of its own (synthetic 181-keyframe circle: max 0.024 m over 4
-windows, far inside the reference's 0.1 m bound). On street-scale data an
-80-frame window is intrinsically under-constrained — the proven full-batch
-assembly restricted to KITTI drive_0036's first 80 frames already misses
-the full-sequence 3.0 m bound (max 5.6 m) — so windowed solves there are
-an *odometry* mode: bounded drift (~9% of path length at W=80/o=12), with
-the full-batch solve remaining the right tool below ~250 frames.
+  dimensions: ONE jit solve executable + ONE reduced-Hessian executable
+  serve the whole sequence. In marginalization mode, starts stay exactly
+  ``step`` apart (the final window pads with pinned dummy frames past the
+  sequence end) so the marginalized keep-set aligns with the next head.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import time as _time
 
 import jax
@@ -41,7 +46,14 @@ import numpy as np
 
 from libwave_tpu.geometry import so3
 from libwave_tpu.optim import schur
-from libwave_tpu.optim.ba import BAConfig, BAProblem, BAState, solve_ba
+from libwave_tpu.optim.ba import (
+    BAConfig,
+    BAProblem,
+    BAState,
+    ba_reduced_hessian,
+    solve_ba,
+)
+from libwave_tpu.optim.marginalization import schur_marginalize
 from libwave_tpu.optim.pose_graph import BetweenBank, PriorBank
 from libwave_tpu.pipelines.euroc_vio import (
     _camera_P_mats,
@@ -49,7 +61,9 @@ from libwave_tpu.pipelines.euroc_vio import (
     _triangulate_gated,
 )
 from libwave_tpu.pipelines.windowed_vio import (
-    WindowedVIOParams as WindowedBAParams,  # same two knobs: window/overlap
+    WindowedVIOParams as WindowedBAParams,  # same knobs: window/overlap/mode
+    _excluded_mask,
+    _marg_obs_split,
     _pad_shift_masks,
 )
 
@@ -59,9 +73,12 @@ _IDENTITY_Q = np.array([1.0, 0.0, 0.0, 0.0])
 
 
 def _slice_between(between: BetweenBank | None, s: int, W: int, f_max: int,
-                   dtype):
+                   dtype, marg_boundary: int | None = None):
     """Between-factors with both endpoints inside [s, s+W), re-indexed
-    locally and padded to ``f_max`` zero-information slots."""
+    locally and padded to ``f_max`` zero-information slots.
+    ``marg_boundary``: additionally zero the information of factors lying
+    entirely inside the keep-set [marg_boundary, W) — the marginalization
+    factor split (those factors belong to the next window)."""
     if between is None or f_max == 0:
         return None
     i = np.asarray(between.i)
@@ -83,6 +100,16 @@ def _slice_between(between: BetweenBank | None, s: int, W: int, f_max: int,
         dq = np.concatenate(
             [dq, np.tile(_IDENTITY_Q, (pad, 1)).astype(dq.dtype)]
         )
+    si = np.asarray(between.sqrt_info)[sel]
+    if marg_boundary is not None:
+        keep_only = (
+            (i[sel] - s >= marg_boundary) & (j[sel] - s >= marg_boundary)
+        )
+        si = si * ~keep_only[:, None]
+    if pad:
+        si = np.concatenate(
+            [si, np.zeros((pad,) + si.shape[1:], si.dtype)]
+        )
     return BetweenBank(
         i=jnp.asarray(np.concatenate(
             [i[sel] - s, np.zeros(pad, i.dtype)]
@@ -92,7 +119,7 @@ def _slice_between(between: BetweenBank | None, s: int, W: int, f_max: int,
         )),
         dq=jnp.asarray(dq),
         dp=take(between.dp),
-        sqrt_info=take(between.sqrt_info, fill=0.0),  # zero rows = silent
+        sqrt_info=jnp.asarray(si),  # zero rows = silent
     )
 
 
@@ -122,27 +149,35 @@ def solve_ba_windowed(
         cfg = BAConfig(max_iterations=40, cg_max_iters=150, huber_delta=3.0)
     N = num_frames
     W = min(wparams.window, N)
-    step = W - wparams.overlap
+    O = min(wparams.overlap, W - 1) if W > 1 else 0
+    step = max(W - O, 1)
+    marg = wparams.mode == "marginalize" and O >= 1
     q_init = np.asarray(q_init)
     p_init = np.asarray(p_init)
     dtype = p_init.dtype
 
-    starts = list(range(0, max(N - W, 0) + 1, step))
-    if starts[-1] != N - W:
-        starts.append(N - W)
+    if N <= W:
+        starts = [0]
+    elif marg:
+        n_win = int(np.ceil((N - W) / step)) + 1
+        starts = [i * step for i in range(n_win)]
+    else:
+        starts = list(range(0, N - W + 1, step))
+        if starts[-1] != N - W:
+            starts.append(N - W)
 
     # pass 1: layout dims (independent of initialization)
     banks = []
     for s in starts:
-        banks.append(_track_bank(tracks, W, min_track_length,
-                                 frame_offset=s))
+        banks.append(_track_bank(tracks, min(W, N - s), min_track_length,
+                                 frame_offset=s, return_raw=True))
     M_pad = max(max((b[3] for b in banks), default=1), 1)
     pmax_g = 1
-    for pose_idx, _, _, _ in banks:
+    for pose_idx, *_ in banks:
         if len(pose_idx):
             pmax_g = max(pmax_g, int(np.bincount(pose_idx).max()))
     s_max = 1
-    for pose_idx, lm_idx, _, _ in banks:
+    for pose_idx, lm_idx, *_ in banks:
         _, _, _, ell_probe = schur.pack_observations(
             pose_idx, lm_idx, W, M_pad, min_pmax=pmax_g
         )
@@ -158,25 +193,50 @@ def solve_ba_windowed(
 
     solve = jax.jit(lambda pr, st: solve_ba(pr, st, cfg))
 
+    P = O * 6
+    prior_Lambda = np.zeros((P, P))
+    prior_b = np.zeros(P)
+    if marg:
+        red_hess = jax.jit(
+            lambda pr, st: ba_reduced_hessian(pr, st, cfg.huber_delta)
+        )
+        if priors is None:
+            # soft gauge for window 0: anchor the first two poses at their
+            # init (the prior-free analog of freezing them); scale rides on
+            # the inter-pose baseline either way
+            n_anchor = min(2, O)
+            prior_Lambda[: n_anchor * 6, : n_anchor * 6] = (
+                wparams.anchor_info * np.eye(n_anchor * 6)
+            )
+
     est_q = np.zeros((N, 4))
     est_p = np.zeros((N, 3))
     est_q[0] = q_init[0]
     est_p[0] = p_init[0]
     solved_upto = 1
+    excl_pairs = np.zeros((0, 2), np.int64)
     window_costs = []
     t_solve = 0.0
+    t_marg = 0.0
     identity_qbc = _IDENTITY_Q.astype(dtype)
 
     for wi, s in enumerate(starts):
-        pose_idx, lm_idx, uv, M = banks[wi]
-        frozen = max(solved_upto - s, 1)
-        a = s + frozen - 1  # anchor: last frozen global frame
+        pose_idx, lm_idx, uv, M, raw_ids = banks[wi]
+        nreal = min(W, N - s)
+        head = max(min(solved_upto - s, W), 1)
+        a = s + head - 1  # anchor: last chained global frame
 
         if wi == 0:
-            q0 = q_init[s : s + W].copy()
-            p0 = p_init[s : s + W].copy()
-            q0[:frozen] = est_q[s : s + frozen]
-            p0[:frozen] = est_p[s : s + frozen]
+            q0 = np.concatenate(
+                [q_init[s : s + nreal],
+                 np.tile(_IDENTITY_Q, (W - nreal, 1))]
+            )
+            p0 = np.concatenate(
+                [p_init[s : s + nreal],
+                 np.tile(p_init[min(N, s + nreal) - 1], (W - nreal, 1))]
+            )
+            q0[:head] = est_q[s : s + head]
+            p0[:head] = est_p[s : s + head]
         else:
             # anchor-correct the provided init: T_corr maps init -> solved
             # at frame a, applied rigidly to the tail
@@ -186,15 +246,17 @@ def solve_ba_windowed(
             ))
             R_corr = np.asarray(so3.quat_to_rot(jnp.asarray(q_corr)))
             t_corr = est_p[a] - R_corr @ p_init[a]
-            q0 = np.empty((W, 4))
-            p0 = np.empty((W, 3))
-            q0[:frozen] = est_q[s : s + frozen]
-            p0[:frozen] = est_p[s : s + frozen]
-            tail_q = jnp.asarray(q_init[a + 1 : s + W])
-            q0[frozen:] = np.asarray(so3.quat_multiply(
+            q0 = np.tile(_IDENTITY_Q, (W, 1))
+            p0 = np.zeros((W, 3))
+            q0[:head] = est_q[s : s + head]
+            p0[:head] = est_p[s : s + head]
+            tail_q = jnp.asarray(q_init[a + 1 : s + nreal])
+            q0[head:nreal] = np.asarray(so3.quat_multiply(
                 jnp.broadcast_to(jnp.asarray(q_corr), tail_q.shape), tail_q
             ))
-            p0[frozen:] = p_init[a + 1 : s + W] @ R_corr.T + t_corr
+            p0[head:nreal] = p_init[a + 1 : s + nreal] @ R_corr.T + t_corr
+            q0[nreal:] = q0[nreal - 1]
+            p0[nreal:] = p0[nreal - 1]
 
         P_mats = _camera_P_mats(q0, p0, K, identity_qbc)
         if M > 0:
@@ -202,6 +264,8 @@ def solve_ba_windowed(
                 P_mats, pose_idx, lm_idx, uv, M, outlier_gate_px,
                 gate_rounds,
             )
+            if marg:
+                inlier &= ~_excluded_mask(pose_idx + s, raw_ids, excl_pairs)
             cnt = np.bincount(lm_idx[inlier], minlength=M)
             inlier &= cnt[lm_idx] >= 2
             weight = inlier.astype(np.float64)
@@ -211,16 +275,32 @@ def solve_ba_windowed(
         lm0 = np.zeros((M_pad, 3))
         lm0[:M] = lm_init
 
-        pose_ell, lm_ell, pad_mask, ell, uv_p, w_p = schur.pack_observations(
-            pose_idx, lm_idx, W, M_pad, uv, weight, min_pmax=pmax_g
-        )
+        if marg:
+            w_marg, excl_next = _marg_obs_split(
+                pose_idx, lm_idx, raw_ids, weight, W, O, s
+            )
+            (pose_ell, lm_ell, pad_mask, ell, uv_p, w_p,
+             wm_p) = schur.pack_observations(
+                pose_idx, lm_idx, W, M_pad, uv, weight, w_marg,
+                min_pmax=pmax_g,
+            )
+        else:
+            pose_ell, lm_ell, pad_mask, ell, uv_p, w_p = (
+                schur.pack_observations(
+                    pose_idx, lm_idx, W, M_pad, uv, weight,
+                    min_pmax=pmax_g,
+                )
+            )
         ell = _pad_shift_masks(ell, s_max)
 
         free = np.ones(W)
-        if wi == 0 and priors is None:
-            free[: min(2, W)] = 0.0  # hard gauge when no priors given
-        if wi > 0:
-            free[:frozen] = 0.0
+        if marg:
+            free[nreal:] = 0.0  # pin final-window dummy frames
+        else:
+            if wi == 0 and priors is None:
+                free[: min(2, W)] = 0.0  # hard gauge when no priors given
+            if wi > 0:
+                free[:head] = 0.0
 
         problem = BAProblem(
             K=jnp.asarray(K),
@@ -232,6 +312,10 @@ def solve_ba_windowed(
             between=_slice_between(between, s, W, f_max, dtype),
             priors=priors if wi == 0 else _far_priors(priors, W),
             ell=ell,
+            prior_Lambda=jnp.asarray(prior_Lambda) if marg else None,
+            prior_b=jnp.asarray(prior_b) if marg else None,
+            prior_q=jnp.asarray(q0[:O]) if marg else None,
+            prior_p=jnp.asarray(p0[:O]) if marg else None,
         )
         state0 = BAState(
             q=jnp.asarray(q0), p=jnp.asarray(p0), lm=jnp.asarray(lm0)
@@ -242,20 +326,38 @@ def solve_ba_windowed(
         t_solve += _time.perf_counter() - t0
         window_costs.append(float(info["final_cost"]))
 
-        est_q[s + frozen : s + W] = np.asarray(state.q)[frozen:]
-        est_p[s + frozen : s + W] = np.asarray(state.p)[frozen:]
-        if wi == 0:
-            est_q[s : s + frozen] = np.asarray(state.q)[:frozen]
-            est_p[s : s + frozen] = np.asarray(state.p)[:frozen]
-        solved_upto = s + W
+        if marg or wi == 0:
+            est_q[s : s + nreal] = np.asarray(state.q)[:nreal]
+            est_p[s : s + nreal] = np.asarray(state.p)[:nreal]
+        else:
+            est_q[s + head : s + W] = np.asarray(state.q)[head:]
+            est_p[s + head : s + W] = np.asarray(state.p)[head:]
+        solved_upto = min(s + W, N)
+
+        if marg and wi + 1 < len(starts):
+            tm0 = _time.perf_counter()
+            marg_problem = problem._replace(
+                weight=jnp.asarray(wm_p) * pad_mask,
+                between=_slice_between(
+                    between, s, W, f_max, dtype, marg_boundary=W - O
+                ),
+            )
+            H, b = red_hess(marg_problem, state)
+            prior_Lambda, prior_b = schur_marginalize(
+                np.asarray(H), np.asarray(b), keep_dim=P
+            )
+            excl_pairs = excl_next
+            t_marg += _time.perf_counter() - tm0
 
     report = {
         "num_frames": N,
         "num_windows": len(starts),
         "window": W,
-        "overlap": wparams.overlap,
+        "overlap": O,
+        "mode": wparams.mode,
         "window_final_costs": window_costs,
         "solve_seconds": t_solve,
+        "marginalization_seconds": t_marg,
         "num_landmarks_padded": M_pad,
     }
     return est_q, est_p, report

@@ -7,21 +7,36 @@ the *tracker* this way (window_size purge, wave_vision/include/wave/vision/
 tracker/impl/tracker.hpp:90-101) and leaves its solvers global; here the
 solver itself windows:
 
-- fixed-size keyframe windows with overlap, marching down the sequence;
-- each window solves the full VIO factor graph (IMU preintegration + bias
-  walk + Huber reprojection) with its leading already-solved keyframes
-  FROZEN at the previous window's estimates — a hard-anchor stand-in for
-  prior-carrying marginalization that keeps every window's problem
-  identically shaped;
+- fixed-size keyframe windows with ``overlap`` shared keyframes, marching
+  down the sequence by ``window - overlap``;
+- **marginalization mode (default)**: after each window solves, the
+  out-of-window states (and their factors) are Schur-complement
+  marginalized onto the overlap states (optim.marginalization); the next
+  window carries that dense prior on its head states
+  (pipelines.vio.VIOProblem.prior_Lambda) with everything free — a
+  fixed-lag smoother that retains the information a global solve would
+  keep. Every measurement is counted exactly once across the chain: the
+  marginalized factor set is the incoming prior + the FULL live tracks of
+  every landmark touching an out-frame (their overlap-frame observations
+  included — so cross-boundary baselines survive in the prior, and those
+  observations are excluded from the next window, see _marg_obs_split) +
+  IMU / bias-walk intervals up to the overlap boundary; overlap-only
+  landmarks and overlap intervals flow into the next window instead;
+- **freeze mode (ablation)**: the round-3 behavior — the head keyframes
+  are hard-frozen at the previous window's estimates, a prior-free anchor
+  that discards the overlap information (bounded-drift odometry);
 - bias estimates carry forward as the next window's initialization;
 - every window is padded to common (Pmax, M, shift-pass) dimensions, so
-  ONE jit-compiled executable serves the whole sequence — no per-window
-  retracing, and windows could equally run as a vmapped batch where
-  dependencies allow.
+  ONE jit-compiled solve executable and ONE reduced-Hessian executable
+  serve the whole sequence — no per-window retracing. In marginalization
+  mode window starts stay exactly ``step`` apart (the final window is
+  padded with pinned zero-information dummy frames past the sequence end)
+  so the marginalized keep-set always aligns with the next head.
 
 TPU framing: the window march is the sequential axis; throughput scaling
 comes from batching independent sequences/sessions (vmap over the window
-solve), not from parallelizing one chain.
+solve), not from parallelizing one chain. The marginalization complement
+itself runs host-side in f64 (see optim.marginalization for why).
 """
 
 from __future__ import annotations
@@ -48,6 +63,7 @@ from libwave_tpu.datasets.euroc import (
 )
 from libwave_tpu.geometry.se3 import SE3
 from libwave_tpu.optim import schur
+from libwave_tpu.optim.marginalization import schur_marginalize
 from libwave_tpu.pipelines.euroc_vio import (
     EurocVIOParams,
     _camera_P_mats,
@@ -55,20 +71,39 @@ from libwave_tpu.pipelines.euroc_vio import (
     _track_bank,
     _triangulate_gated,
 )
-from libwave_tpu.pipelines.vio import VIOConfig, VIOProblem, VIOState, solve_vio
+from libwave_tpu.pipelines.vio import (
+    VIOConfig,
+    VIOProblem,
+    VIOState,
+    solve_vio,
+    vio_reduced_hessian,
+)
 from libwave_tpu.sim.vo_dataset import q_BC as default_q_BC
 
 __all__ = ["WindowedVIOParams", "run_euroc_vio_windowed"]
+
+D = 15  # keyframe tangent dim
 
 
 @dataclasses.dataclass(frozen=True)
 class WindowedVIOParams:
     window: int = 100  # keyframes per window
-    overlap: int = 10  # keyframes shared with (frozen from) the previous
+    overlap: int = 10  # keyframes shared with the previous window
+    # "marginalize": carry the out-of-window information forward as a
+    # Schur-complement prior on the overlap (fixed-lag smoother);
+    # "freeze": hard-anchor the overlap at the previous estimates (the
+    # bounded-drift ablation baseline).
+    mode: str = "marginalize"
+    # window-0 prior information on the first keyframe's 15 tangent dims
+    # (the soft equivalent of freezing the initial state at its given
+    # value; 1e8 = sigma 1e-4)
+    anchor_info: float = 1e8
 
     def validate(self):
         if self.overlap < 1 or self.overlap >= self.window:
             raise ValueError("need 1 <= overlap < window")
+        if self.mode not in ("marginalize", "freeze"):
+            raise ValueError("mode must be marginalize | freeze")
 
 
 def _quat_to_rot_np(q):
@@ -118,6 +153,49 @@ def _pad_shift_masks(ell: schur.EllLayout, s_target: int) -> schur.EllLayout:
     return ell._replace(shift_masks=jnp.concatenate([ell.shift_masks, pad]))
 
 
+def _excluded_mask(frames_global, raw_ids, excl_pairs):
+    """Boolean mask of observations listed in ``excl_pairs`` ((E, 2) rows
+    of [global frame, original track id]) — observations the previous
+    window already marginalized into the incoming prior."""
+    if excl_pairs is None or len(excl_pairs) == 0 or len(raw_ids) == 0:
+        return np.zeros(len(raw_ids), bool)
+    base = int(max(raw_ids.max(), excl_pairs[:, 1].max())) + 1
+    key = frames_global.astype(np.int64) * base + raw_ids.astype(np.int64)
+    excl_key = excl_pairs[:, 0] * base + excl_pairs[:, 1]
+    return np.isin(key, excl_key)
+
+
+def _marg_obs_split(pose_idx, lm_idx, raw_ids, weight, W, O, s):
+    """Full-track marginalization split of a window's observation bank.
+
+    A landmark with any live observation at an out-frame (local index
+    < W - O) is *owned by the marginalization*: ALL its live observations
+    — including those at overlap frames — enter the marginalization
+    Hessian, so cross-boundary baselines survive in the prior. Its
+    overlap-frame observations are then EXCLUDED from the next window
+    (returned as (E, 2) [global frame, raw id] pairs), which re-instantiates
+    only its future observations as a fresh variable. Landmarks seen only
+    in the overlap flow to the next window untouched. Every observation is
+    counted exactly once across the prior chain.
+
+    Returns ``(w_marg, excl_pairs_next)``.
+    """
+    if len(lm_idx) == 0:
+        return np.zeros(0), np.zeros((0, 2), np.int64)
+    M = int(lm_idx.max()) + 1
+    live = weight > 0
+    out = pose_idx < W - O
+    has_out = np.zeros(M, bool)
+    has_out[lm_idx[live & out]] = True
+    w_marg = weight * has_out[lm_idx]
+    selx = live & ~out & has_out[lm_idx]
+    excl = np.stack(
+        [pose_idx[selx].astype(np.int64) + s,
+         raw_ids[selx].astype(np.int64)], axis=1,
+    )
+    return w_marg, excl
+
+
 def run_euroc_vio_windowed(
     root: str,
     params: EurocVIOParams = EurocVIOParams(),
@@ -134,13 +212,14 @@ def run_euroc_vio_windowed(
     (q0, p0, v0) and the final ATE scoring; every later window chains off
     the previous solution. Returns ``(est Trajectory, report dict)``.
 
-    ``checkpoint_dir``: snapshot the chain state after every solved window
-    (atomic npz via ``utils.checkpoint``); a rerun with the same arguments
-    resumes from the last completed window — the crash-recovery story for
-    multi-hour sequences (SURVEY §5.3-5.4: the reference never checkpoints
-    solver state). ``stop_after_windows`` stops the chain early (fault
-    injection in tests; incremental processing in production) — the report
-    then carries ``completed=False`` and ATE over the solved prefix.
+    ``checkpoint_dir``: snapshot the chain state (estimates + the marginal
+    prior) after every solved window (atomic npz via ``utils.checkpoint``);
+    a rerun with the same arguments resumes from the last completed window
+    — the crash-recovery story for multi-hour sequences (SURVEY §5.3-5.4:
+    the reference never checkpoints solver state). ``stop_after_windows``
+    stops the chain early (fault injection in tests; incremental
+    processing in production) — the report then carries ``completed=False``
+    and ATE over the solved prefix.
     """
     wparams.validate()
     imu = load_euroc_imu(root)
@@ -154,36 +233,64 @@ def run_euroc_vio_windowed(
         N = params.max_keyframes
         cam_times = cam_times[:N]
     W = min(wparams.window, N)
-    step = W - wparams.overlap
+    # clamp for short sequences: a sequence at or below the overlap still
+    # degrades to a single window instead of a zero/negative step
+    O = min(wparams.overlap, W - 1) if W > 1 else 0
+    step = max(W - O, 1)
+    marg = wparams.mode == "marginalize" and O >= 1
 
     pim_stack, sqrt_infos = _preintegrate_intervals(imu, cam_times, N, params)
+
+    # window starts. Marginalization mode keeps starts exactly `step`
+    # apart (the marginalized keep-set must align with the next window's
+    # head) and pads the final window past the sequence end with pinned
+    # dummy frames; freeze mode clamps the last start to end at N.
+    if N <= W:
+        starts = [0]
+    elif marg:
+        n_win = int(np.ceil((N - W) / step)) + 1
+        starts = [i * step for i in range(n_win)]
+    else:
+        starts = list(range(0, N - W + 1, step))
+        if starts[-1] != N - W:
+            starts.append(N - W)
+    N_ext = starts[-1] + W
+    if N_ext > N:  # pad interval stacks with zero-information dummies
+        pad = N_ext - N
+        pad_pim = jax.tree.map(
+            lambda x: jnp.concatenate(
+                [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]
+            ),
+            pim_stack,
+        )
+        pim_stack = pad_pim._replace(
+            dq=pad_pim.dq.at[N - 1 :, 0].set(1.0)
+        )
+        sqrt_infos = jnp.concatenate(
+            [sqrt_infos, jnp.zeros((pad, 9, 9), sqrt_infos.dtype)]
+        )
     pim_np = jax.tree.map(np.asarray, pim_stack)
 
     Kmat = EUROC_CAM0_K if K is None else K
     qbc = np.asarray(default_q_BC(np.float64))
     g_vec = np.array([0.0, 0.0, -9.81])
 
-    # window starts: march by `step`, clamp the last to end exactly at N
-    starts = list(range(0, max(N - W, 0) + 1, step))
-    if starts[-1] != N - W:
-        starts.append(N - W)
-
     # pass 1: per-window track banks + global padding dimensions (layout
     # only — initialization is sequential and happens in pass 2)
     banks = []
     for s in starts:
-        pose_idx, lm_idx, uv, M = _track_bank(
-            tracks, W, params.min_track_length, frame_offset=s
-        )
-        banks.append((pose_idx, lm_idx, uv, M))
+        banks.append(_track_bank(
+            tracks, min(W, N - s), params.min_track_length, frame_offset=s,
+            return_raw=True,
+        ))
     M_pad = max(max((b[3] for b in banks), default=1), 1)
     pmax_g = 1
-    for pose_idx, _, _, _ in banks:
+    for pose_idx, *_ in banks:
         if len(pose_idx):
             pmax_g = max(pmax_g, int(np.bincount(pose_idx).max()))
     # common shift-pass count: layout depends only on (pose_idx, lm_idx)
     s_max = 1
-    for pose_idx, lm_idx, _, M in banks:
+    for pose_idx, lm_idx, *_ in banks:
         _, _, _, ell_probe = schur.pack_observations(
             pose_idx, lm_idx, W, M_pad, min_pmax=pmax_g
         )
@@ -194,6 +301,22 @@ def run_euroc_vio_windowed(
 
         cfg = default_vio_config(params)
     solve = jax.jit(lambda pr, st: solve_vio(pr, st, cfg))
+
+    P = O * D
+    prior_Lambda = np.zeros((P, P))
+    prior_b = np.zeros(P)
+    if marg:
+        red_hess = jax.jit(
+            lambda pr, st: vio_reduced_hessian(pr, st, params.huber_delta)
+        )
+        # factors entering the marginalization: IMU/bias intervals up to
+        # the overlap boundary only (the overlap's own intervals belong to
+        # the next window)
+        imu_marg_mask = np.ones(W - 1)
+        imu_marg_mask[W - O :] = 0.0
+        imu_marg_mask_j = jnp.asarray(imu_marg_mask)[:, None, None]
+        # window-0 prior: anchor the very first keyframe
+        prior_Lambda[:D, :D] = wparams.anchor_info * np.eye(D)
 
     est_q = np.zeros((N, 4))
     est_p = np.zeros((N, 3))
@@ -207,9 +330,11 @@ def run_euroc_vio_windowed(
     est_v[0] = gt.v[gi]
 
     solved_upto = 1  # states [0, solved_upto) are final
+    excl_pairs = np.zeros((0, 2), np.int64)  # marginalized (frame, id) obs
     window_costs = []
     window_times = []
     t_solve = 0.0
+    t_marg = 0.0
     windows_done = 0
     ckpt_path = None
     if checkpoint_dir is not None:
@@ -227,6 +352,9 @@ def run_euroc_vio_windowed(
                 "solved_upto": np.asarray(0),
                 "windows_done": np.asarray(0),
                 "window_costs": np.zeros(len(starts)),
+                "prior_Lambda": prior_Lambda,
+                "prior_b": prior_b,
+                "excl_pairs": excl_pairs,
             }
             snap = load_checkpoint(ckpt_path, like)
             windows_done = int(snap["windows_done"])
@@ -236,23 +364,29 @@ def run_euroc_vio_windowed(
             est_v[:] = np.asarray(snap["est_v"])
             est_bg[:] = np.asarray(snap["est_bg"])
             est_ba[:] = np.asarray(snap["est_ba"])
+            prior_Lambda = np.asarray(snap["prior_Lambda"])
+            prior_b = np.asarray(snap["prior_b"])
+            excl_pairs = np.asarray(snap["excl_pairs"]).reshape(-1, 2)
             window_costs = list(
                 np.asarray(snap["window_costs"])[:windows_done]
             )
 
     resumed_at = windows_done
+    resumed_upto = solved_upto
     stopped_early = False
     # pass 2: sequential build-and-solve — each window's initialization
     # chains off the previous window's solution
     for wi, s in enumerate(starts):
         if wi < windows_done:
             continue  # already solved (checkpoint resume)
-        pose_idx, lm_idx, uv, M = banks[wi]
-        frozen = max(solved_upto - s, 1)
+        pose_idx, lm_idx, uv, M, raw_ids = banks[wi]
+        nreal = min(W, N - s)  # real (non-dummy) frames this window
+        head = max(min(solved_upto - s, W), 1)
 
-        # initial window states: frozen head from the chain, dead-reckoned
-        # tail from the last frozen state, biases carried forward
-        a = s + frozen - 1  # last frozen global index
+        # initial window states: head from the chain (= the prior mean in
+        # marginalization mode), dead-reckoned tail from the last head
+        # state, biases carried forward
+        a = s + head - 1  # last chained global index
         qs, ps, vs = _dead_reckon_np(
             est_q[a], est_p[a], est_v[a],
             pim_np.dq[a : s + W - 1], pim_np.dp[a : s + W - 1],
@@ -264,6 +398,8 @@ def run_euroc_vio_windowed(
         v0 = np.concatenate([est_v[s:a], vs])
         bg0 = np.broadcast_to(est_bg[a], (W, 3)).copy()
         ba0 = np.broadcast_to(est_ba[a], (W, 3)).copy()
+        bg0[: a - s] = est_bg[s:a]
+        ba0[: a - s] = est_ba[s:a]
 
         # local triangulation + gating off the initialized chain
         P_mats = _camera_P_mats(q0, p0, Kmat, qbc)
@@ -272,6 +408,11 @@ def run_euroc_vio_windowed(
                 P_mats, pose_idx, lm_idx, uv, M,
                 params.outlier_gate_px, params.gate_rounds,
             )
+            if marg:
+                # observations the previous window marginalized into the
+                # incoming prior are spent — using them again would count
+                # their information twice
+                inlier &= ~_excluded_mask(pose_idx + s, raw_ids, excl_pairs)
             cnt = np.bincount(lm_idx[inlier], minlength=M)
             inlier &= cnt[lm_idx] >= 2
             weight = inlier.astype(np.float64)
@@ -282,13 +423,30 @@ def run_euroc_vio_windowed(
         lm0 = np.zeros((M_pad, 3))
         lm0[:M] = lm_init
 
-        pose_ell, lm_ell, pad_mask, ell, uv_p, w_p = schur.pack_observations(
-            pose_idx, lm_idx, W, M_pad, uv, weight, min_pmax=pmax_g
-        )
+        # full-track marginalization split (see _marg_obs_split)
+        if marg:
+            w_marg, excl_next = _marg_obs_split(
+                pose_idx, lm_idx, raw_ids, weight, W, O, s
+            )
+            (pose_ell, lm_ell, pad_mask, ell, uv_p, w_p,
+             wm_p) = schur.pack_observations(
+                pose_idx, lm_idx, W, M_pad, uv, weight, w_marg,
+                min_pmax=pmax_g,
+            )
+        else:
+            pose_ell, lm_ell, pad_mask, ell, uv_p, w_p = (
+                schur.pack_observations(
+                    pose_idx, lm_idx, W, M_pad, uv, weight,
+                    min_pmax=pmax_g,
+                )
+            )
         ell = _pad_shift_masks(ell, s_max)
 
-        free = np.ones((W, 15))
-        free[:frozen, :] = 0.0
+        free = np.ones((W, D))
+        if marg:
+            free[nreal:, :] = 0.0  # pin final-window dummy frames
+        else:
+            free[:head, :] = 0.0
 
         problem = VIOProblem(
             K=jnp.asarray(Kmat),
@@ -309,6 +467,13 @@ def run_euroc_vio_windowed(
             free_pose=jnp.asarray(free),
             q_BC=jnp.asarray(qbc),
             pixel_sigma=params.pixel_sigma,
+            prior_Lambda=jnp.asarray(prior_Lambda) if marg else None,
+            prior_b=jnp.asarray(prior_b) if marg else None,
+            prior_q=jnp.asarray(q0[:O]) if marg else None,
+            prior_p=jnp.asarray(p0[:O]) if marg else None,
+            prior_v=jnp.asarray(v0[:O]) if marg else None,
+            prior_bg=jnp.asarray(bg0[:O]) if marg else None,
+            prior_ba=jnp.asarray(ba0[:O]) if marg else None,
         )
         state0 = VIOState(
             q=jnp.asarray(q0), p=jnp.asarray(p0), v=jnp.asarray(v0),
@@ -320,14 +485,36 @@ def run_euroc_vio_windowed(
         window_times.append(_time.perf_counter() - t0)
         t_solve += window_times[-1]
         window_costs.append(float(info["final_cost"]))
-        frozen = max(solved_upto - s, 1)
-        est_q[s + frozen : s + W] = np.asarray(state.q)[frozen:]
-        est_p[s + frozen : s + W] = np.asarray(state.p)[frozen:]
-        est_v[s + frozen : s + W] = np.asarray(state.v)[frozen:]
-        est_bg[s + frozen : s + W] = np.asarray(state.bg)[frozen:]
-        est_ba[s + frozen : s + W] = np.asarray(state.ba)[frozen:]
-        solved_upto = s + W
+
+        if marg:
+            # the whole window re-estimated (overlap refined by the prior)
+            est_q[s : s + nreal] = np.asarray(state.q)[:nreal]
+            est_p[s : s + nreal] = np.asarray(state.p)[:nreal]
+            est_v[s : s + nreal] = np.asarray(state.v)[:nreal]
+            est_bg[s : s + nreal] = np.asarray(state.bg)[:nreal]
+            est_ba[s : s + nreal] = np.asarray(state.ba)[:nreal]
+        else:
+            est_q[s + head : s + W] = np.asarray(state.q)[head:]
+            est_p[s + head : s + W] = np.asarray(state.p)[head:]
+            est_v[s + head : s + W] = np.asarray(state.v)[head:]
+            est_bg[s + head : s + W] = np.asarray(state.bg)[head:]
+            est_ba[s + head : s + W] = np.asarray(state.ba)[head:]
+        solved_upto = min(s + W, N)
         windows_done = wi + 1
+
+        if marg and wi + 1 < len(starts):
+            tm0 = _time.perf_counter()
+            marg_problem = problem._replace(
+                obs_weight=jnp.asarray(wm_p) * pad_mask,
+                imu_sqrt_info=problem.imu_sqrt_info * imu_marg_mask_j,
+            )
+            H, b = red_hess(marg_problem, state)
+            prior_Lambda, prior_b = schur_marginalize(
+                np.asarray(H), np.asarray(b), keep_dim=P
+            )
+            excl_pairs = excl_next
+            t_marg += _time.perf_counter() - tm0
+
         if ckpt_path is not None:
             costs_arr = np.zeros(len(starts))
             costs_arr[: len(window_costs)] = window_costs
@@ -337,6 +524,9 @@ def run_euroc_vio_windowed(
                 "solved_upto": np.asarray(solved_upto),
                 "windows_done": np.asarray(windows_done),
                 "window_costs": costs_arr,
+                "prior_Lambda": prior_Lambda,
+                "prior_b": prior_b,
+                "excl_pairs": excl_pairs,
             })
         if (stop_after_windows is not None
                 and windows_done - resumed_at >= stop_after_windows
@@ -365,7 +555,9 @@ def run_euroc_vio_windowed(
         )
     else:
         t_steady = t_solve
-    n_timed = n_solved if window_times else 0
+    # rate metrics count only keyframes advanced in THIS run (a checkpoint
+    # resume must not divide previously-solved keyframes by this run's time)
+    n_timed = n_solved - resumed_upto if window_times else 0
     report = {
         "ate_rmse": float(ate),
         "rpe_trans_rmse": float(rpe_t),
@@ -374,12 +566,14 @@ def run_euroc_vio_windowed(
         "num_keyframes": N,
         "num_keyframes_solved": n_solved,
         "completed": not stopped_early,
+        "mode": wparams.mode,
         "num_windows": len(starts),
         "windows_done": windows_done,
         "window": W,
-        "overlap": wparams.overlap,
+        "overlap": O,
         "window_final_costs": window_costs,
         "solve_seconds": t_solve,
+        "marginalization_seconds": t_marg,
         # the first window's time includes the (single) jit compile; the
         # steady-state rate replaces it with the median of the rest
         "solve_keyframes_per_s": n_timed / max(t_steady, 1e-9),

@@ -98,7 +98,10 @@ def _hash_keys(desc: jnp.ndarray, bit_idx: jnp.ndarray) -> jnp.ndarray:
 
 class LSHIndex(typing.NamedTuple):
     sorted_ids: jnp.ndarray  # (L, N2) train ids sorted by key per table
-    offsets: jnp.ndarray  # (L, 2^B + 1) bucket start offsets
+    # (L, 2^B + 2) bucket start offsets: 2^B real buckets plus a trailing
+    # overflow bucket (key 2^B) where masked train rows hash, so they never
+    # collide with live queries
+    offsets: jnp.ndarray
     desc: jnp.ndarray  # (N2, W) the train bank (for candidate gathers)
     mask: jnp.ndarray  # (N2,) train validity
 

@@ -230,7 +230,7 @@ class TestMultiMatcher:
             atol=1e-8,
         )
         assert len(res_s.transform.t.sharding.device_set) == 8
-        with pytest.raises(ValueError, match="divide the mesh axis"):
+        with pytest.raises(ValueError, match="divisible by the .* devices"):
             multi_match_sharded(
                 jax.tree.map(lambda x: x[:3], refs),
                 jax.tree.map(lambda x: x[:3], tgts), mesh, params,

@@ -122,3 +122,40 @@ def test_checkpoint_crash_resume(mid_root, tmp_path):
         atol=1e-9,
     )
     assert abs(rep_res["ate_rmse"] - rep_full["ate_rmse"]) < 1e-9
+
+
+def test_short_sequence_overlap_clamp(mid_root):
+    """N at or below the configured overlap degrades to a single window
+    instead of a zero/negative march step (advisor finding r3)."""
+    _, rep = run_euroc_vio_windowed(
+        mid_root, EurocVIOParams(max_keyframes=8),
+        WindowedVIOParams(window=60, overlap=10),
+    )
+    assert rep["num_windows"] == 1
+    assert rep["num_keyframes"] == 8
+    assert np.isfinite(rep["ate_rmse"])
+
+
+def test_mode_validation():
+    with pytest.raises(ValueError):
+        WindowedVIOParams(mode="nope").validate()
+
+
+@pytest.mark.slow
+def test_marginalize_vs_freeze_ablation(mid_root):
+    """The Schur-complement prior must track the chain at least as well as
+    the frozen-anchor ablation — and both must meet the synthetic bound."""
+    p = EurocVIOParams()
+    _, rep_m = run_euroc_vio_windowed(
+        mid_root, p, WindowedVIOParams(window=60, overlap=10,
+                                       mode="marginalize")
+    )
+    _, rep_f = run_euroc_vio_windowed(
+        mid_root, p, WindowedVIOParams(window=60, overlap=10, mode="freeze")
+    )
+    assert rep_m["mode"] == "marginalize"
+    assert rep_f["mode"] == "freeze"
+    assert rep_m["ate_rmse"] < 0.05, rep_m["ate_rmse"]
+    assert rep_f["ate_rmse"] < 0.05, rep_f["ate_rmse"]
+    # the prior-carrying chain should not be materially worse
+    assert rep_m["ate_rmse"] < rep_f["ate_rmse"] * 1.5 + 1e-3
