@@ -352,6 +352,54 @@ def bench_frontend():
     return out
 
 
+def bench_frontend_batched():
+    """Front-end DP batch axis at EuRoC FULL resolution (752x480): the
+    whole-sequence tracker (FAST -> BRISK -> match -> track as one
+    lax.scan program) single vs vmapped over B=8 sequences. The per-frame
+    chain is inherently sequential (SURVEY §7 hard parts); aggregate
+    throughput per chip comes from this batch axis."""
+    import tempfile
+    import time as _t
+
+    from libwave_tpu.datasets.euroc import load_euroc_camera_index
+    from libwave_tpu.pipelines import (
+        FrontendParams,
+        track_sequence,
+        track_sequences_batched,
+    )
+    from libwave_tpu.sim import EurocSimParams, generate_euroc_sequence
+    from libwave_tpu.vision.images import read_image_sequence
+
+    sim = EurocSimParams(
+        duration=4.8, cam_hz=5.0, nb_landmarks=400, render_images=True
+    )
+    with tempfile.TemporaryDirectory() as root:
+        generate_euroc_sequence(root, sim, seed=0)
+        _, paths = load_euroc_camera_index(root)
+        frames = read_image_sequence(paths)
+    T = frames.shape[0]
+    params = FrontendParams()
+
+    tr = track_sequence(frames, params=params, scan=True)
+    t0 = _t.perf_counter()
+    track_sequence(frames, params=params, scan=True)
+    dt1 = _t.perf_counter() - t0
+
+    B = 8
+    stack = np.stack([frames] * B)
+    track_sequences_batched(stack, params=params)
+    t0 = _t.perf_counter()
+    track_sequences_batched(stack, params=params)
+    dtB = _t.perf_counter() - t0
+    return {
+        "frontend_resolution": f"{frames.shape[2]}x{frames.shape[1]}",
+        "frontend_single_frames_per_s_752x480": round(T / dt1, 2),
+        f"frontend_batched{B}_frames_per_s": round(B * T / dtB, 2),
+        f"frontend_batched{B}_speedup": round(dt1 * B / dtB, 2),
+        "frontend_track_rows": int(len(tr)),
+    }
+
+
 def bench_ba_batched():
     """Throughput mode (SLAM-fleet / multi-session workload): B independent
     VIO-scale BA windows vmapped into ONE device program. The framework's
@@ -1120,6 +1168,7 @@ def main():
         ("ba_large", bench_ba_large, ()),
         ("ba_batched", bench_ba_batched, ()),
         ("frontend", bench_frontend, ()),
+        ("frontend_batched", bench_frontend_batched, ()),
         ("lsh", bench_lsh, ()),
         ("icp", bench_icp, ()),
         ("vio", bench_vio, ()),
@@ -1222,6 +1271,8 @@ def main():
         "icp_scan_pairs_per_s",
         "icp_vs_numpy_cpu",
         "frontend_pairs_per_s",
+        "frontend_single_frames_per_s_752x480",
+        "frontend_batched8_frames_per_s",
         "pixels_frontend_frames_per_s",
         "lsh_16k_matches_per_s",
         "euroc_ate_rmse_m",

@@ -35,15 +35,25 @@ import numpy as np
 __all__ = ["schur_marginalize"]
 
 
-def schur_marginalize(H, b, keep_dim: int, rel_eps: float = 1e-9):
+def schur_marginalize(H, b, keep_dim: int, rel_eps: float = 1e-10):
     """Marginalize all but the LAST ``keep_dim`` coordinates of (H, b).
 
     ``H`` (n, n) symmetric PSD information matrix, ``b`` (n,) rhs (-grad),
     both in tangent coordinates at the linearization point. Returns
     ``(Lambda (keep_dim, keep_dim), b_m (keep_dim,))``, with ``Lambda``
-    projected to PSD (negative curvature from f32 accumulation clipped,
+    projected to PSD (negative curvature from accumulation noise clipped,
     ``b_m`` projected onto the surviving range so no unbounded linear
     terms leak into the next window).
+
+    Scale care: a chained prior mixes anchor information (~1e8-1e12 on
+    gauge-pinned directions) with weak physical information (~1e0 on
+    barely-observed ones) in the SAME matrix. Both the ridge and the PSD
+    clip must therefore be per-direction/relative-free: the ridge is
+    Marquardt-scaled off H_oo's own diagonal, and the eigenvalue clip
+    removes only genuinely negative curvature — a threshold relative to
+    the LARGEST eigenvalue (the anchor) would silently delete the weak
+    directions and the chain drifts (measured on KITTI drive_0036: a
+    1e-12*max cutoff cost several meters and made larger overlaps WORSE).
     """
     H = np.asarray(H, np.float64)
     b = np.asarray(b, np.float64)
@@ -53,17 +63,17 @@ def schur_marginalize(H, b, keep_dim: int, rel_eps: float = 1e-9):
         return H.copy(), b.copy()
     Hoo = H[:cut, :cut]
     Hok = H[:cut, cut:]
-    # scaled ridge keeps H_oo factorizable when a direction is barely
-    # constrained (it only ever weakens the resulting prior)
-    eps = rel_eps * max(float(np.trace(Hoo)) / cut, 1.0)
-    Hoo = Hoo + eps * np.eye(cut)
+    # per-coordinate Marquardt-scaled ridge keeps H_oo factorizable when a
+    # direction is barely constrained (only ever weakens the prior)
+    eps = rel_eps * np.maximum(np.diag(Hoo), 1.0)
+    Hoo = Hoo + np.diag(eps)
     sol = np.linalg.solve(Hoo, np.concatenate([Hok, b[:cut, None]], axis=1))
     Lam = H[cut:, cut:] - Hok.T @ sol[:, :keep_dim]
     b_m = b[cut:] - Hok.T @ sol[:, -1]
     Lam = 0.5 * (Lam + Lam.T)
 
     w, V = np.linalg.eigh(Lam)
-    keep = w > max(float(w.max()), 0.0) * 1e-12
+    keep = w > 0.0
     Vk = V[:, keep]
     Lam = (Vk * w[keep]) @ Vk.T
     b_m = Vk @ (Vk.T @ b_m)

@@ -29,6 +29,7 @@ from libwave_tpu.pipelines.visual_frontend import (  # noqa: F401
     FrontendParams,
     detect_and_describe,
     track_sequence,
+    track_sequences_batched,
     tracks_from_state,
 )
 from libwave_tpu.pipelines.overlap import (  # noqa: F401

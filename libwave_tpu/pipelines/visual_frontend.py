@@ -48,6 +48,7 @@ __all__ = [
     "FrontendParams",
     "detect_and_describe",
     "track_sequence",
+    "track_sequences_batched",
     "tracks_from_state",
 ]
 
@@ -187,6 +188,48 @@ def track_sequence(frames, times=None,
                 times32[i], keys[i], params,
             )
     return tracks_from_state(state)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _frontend_scan_vmapped(states, frames, times, keys, params):
+    return jax.vmap(
+        lambda st, f, t, k: _frontend_scan(st, f, t, k, params)
+    )(states, frames, times, keys)
+
+
+def track_sequences_batched(frames, times=None,
+                            params: FrontendParams = FrontendParams(),
+                            key=None) -> list:
+    """Track a BATCH of sequences ((B, T, H, W) stack) as one vmapped
+    whole-sequence device program — the DP throughput mode (SURVEY §2.8:
+    the front end is embarrassingly parallel over sequences/cameras; the
+    per-frame chain itself is sequential). Returns a list of B (K, 4)
+    track arrays, each identical to ``track_sequence`` on that sequence
+    with the matching per-sequence key.
+    """
+    frames = np.asarray(frames)
+    B, T = frames.shape[:2]
+    if times is None:
+        times = np.broadcast_to(np.arange(T, dtype=np.float64), (B, T))
+    if key is None:
+        key = jax.random.key(0)
+    seq_keys = jax.random.split(key, B)
+    keys = jnp.stack([jax.random.split(k, T) for k in seq_keys])
+    state0 = tracker_init(params.tracker, desc_words=_desc_words(params))
+    states = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), state0
+    )
+    out = _frontend_scan_vmapped(
+        states,
+        jnp.asarray(frames, jnp.float32),
+        jnp.asarray(np.asarray(times, np.float32)),
+        keys,
+        params,
+    )
+    return [
+        tracks_from_state(jax.tree.map(lambda x: x[b], out))
+        for b in range(B)
+    ]
 
 
 def tracks_from_state(state: TrackerState) -> np.ndarray:

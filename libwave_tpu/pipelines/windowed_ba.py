@@ -209,6 +209,7 @@ def solve_ba_windowed(
                 wparams.anchor_info * np.eye(n_anchor * 6)
             )
 
+    prior0_Lambda = prior_Lambda.copy()
     est_q = np.zeros((N, 4))
     est_p = np.zeros((N, 3))
     est_q[0] = q_init[0]
@@ -219,14 +220,35 @@ def solve_ba_windowed(
     t_solve = 0.0
     t_marg = 0.0
     identity_qbc = _IDENTITY_Q.astype(dtype)
+    n_passes = wparams.passes if marg else 1
 
-    for wi, s in enumerate(starts):
+    # later passes (iterated fixed-lag smoothing) re-run the chain with
+    # every window initialized from the previous pass's estimates — the
+    # relinearization that closes (and passes) the gap to the global
+    # batch solve on weak-geometry sequences (see WindowedVIOParams.passes)
+    for pass_idx in range(n_passes):
+      if pass_idx > 0:  # fresh pass state (estimates carry)
+        solved_upto = 1
+        excl_pairs = np.zeros((0, 2), np.int64)
+        prior_Lambda = prior0_Lambda.copy()
+        prior_b = np.zeros(P)
+        window_costs = []
+      for wi, s in enumerate(starts):
         pose_idx, lm_idx, uv, M, raw_ids = banks[wi]
         nreal = min(W, N - s)
         head = max(min(solved_upto - s, W), 1)
         a = s + head - 1  # anchor: last chained global frame
 
-        if wi == 0:
+        if pass_idx > 0:
+            q0 = np.concatenate([
+                est_q[s : s + nreal],
+                np.tile(est_q[s + nreal - 1], (W - nreal, 1)),
+            ])
+            p0 = np.concatenate([
+                est_p[s : s + nreal],
+                np.tile(est_p[s + nreal - 1], (W - nreal, 1)),
+            ])
+        elif wi == 0:
             q0 = np.concatenate(
                 [q_init[s : s + nreal],
                  np.tile(_IDENTITY_Q, (W - nreal, 1))]
@@ -264,11 +286,18 @@ def solve_ba_windowed(
                 P_mats, pose_idx, lm_idx, uv, M, outlier_gate_px,
                 gate_rounds,
             )
+            scale = np.ones(len(pose_idx))
             if marg:
-                inlier &= ~_excluded_mask(pose_idx + s, raw_ids, excl_pairs)
+                reuse = {"split": 0.5, "exclusive": 0.0,
+                         "duplicate": 1.0}[wparams.boundary_obs]
+                exm = _excluded_mask(pose_idx + s, raw_ids, excl_pairs)
+                if reuse == 0.0:
+                    inlier &= ~exm
+                else:
+                    scale = np.where(exm, reuse, 1.0)
             cnt = np.bincount(lm_idx[inlier], minlength=M)
             inlier &= cnt[lm_idx] >= 2
-            weight = inlier.astype(np.float64)
+            weight = inlier * scale
         else:
             lm_init = np.zeros((0, 3))
             weight = np.zeros(0)
@@ -277,7 +306,8 @@ def solve_ba_windowed(
 
         if marg:
             w_marg, excl_next = _marg_obs_split(
-                pose_idx, lm_idx, raw_ids, weight, W, O, s
+                pose_idx, lm_idx, raw_ids, weight, W, O, s,
+                wparams.boundary_obs,
             )
             (pose_ell, lm_ell, pad_mask, ell, uv_p, w_p,
              wm_p) = schur.pack_observations(
@@ -355,6 +385,7 @@ def solve_ba_windowed(
         "window": W,
         "overlap": O,
         "mode": wparams.mode,
+        "passes": n_passes,
         "window_final_costs": window_costs,
         "solve_seconds": t_solve,
         "marginalization_seconds": t_marg,

@@ -53,6 +53,15 @@ class MatcherParams:
     # force the XLA matrix path, e.g. when running on a CPU *device* of a
     # process whose default backend is TPU
     use_fused_top2: bool = None
+    # Candidate-generation method (the FLANNMatcher/BruteForceMatcher split,
+    # flann_matcher.hpp:39-51): "exact" = full Hamming (fused top-2 on
+    # TPU); "lsh" = the bucketed multi-table LSH index (vision.flann),
+    # sub-linear candidates — measured crossover vs the exact kernel is
+    # ~16k x 16k descriptors (0.5x there, the only feasible path at 65k+
+    # where the exact matrix/kernel no longer fits). The knn-ratio and
+    # RANSAC stages downstream are shared.
+    method: str = "exact"
+    flann: object = None  # FLANNParams override (None = defaults + ratio)
 
     def validate(self):
         if not 0 < self.ratio_threshold <= 1:
@@ -61,6 +70,8 @@ class MatcherParams:
             raise ConfigError("distance_threshold is a negative value!")
         if self.fm_method not in ("ransac", "8point", "lmeds"):
             raise ConfigError("fm_method is not an acceptable value!")
+        if self.method not in ("exact", "lsh"):
+            raise ConfigError("method must be exact | lsh")
 
 
 def hamming_distance_matrix(
@@ -253,7 +264,20 @@ def match_descriptors(
         if params.use_fused_top2 is not None
         else jax.default_backend() == "tpu"
     )
-    if params.use_knn and fused:
+    if params.method == "lsh":
+        from libwave_tpu.vision.flann import (
+            FLANNParams,
+            build_lsh_index,
+            lsh_match,
+        )
+
+        fp = params.flann if params.flann is not None else FLANNParams()
+        fp = dataclasses.replace(
+            fp, ratio_threshold=params.ratio_threshold
+        )
+        index = build_lsh_index(desc2, mask2, fp)
+        idx2, valid, _ = lsh_match(desc1, mask1, index, fp)
+    elif params.use_knn and fused:
         from libwave_tpu.ops.hamming import hamming_top2
 
         best, second, idx2 = hamming_top2(desc1, desc2, mask2)

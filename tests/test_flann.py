@@ -88,3 +88,45 @@ class TestLSH:
         # exact duplicates with random second-best: all should pass
         assert np.asarray(valid).all()
         assert (np.asarray(idx2) == np.arange(8)).all()
+
+
+class TestMatcherLSHWiring:
+    """The LSH index as a matcher *option* (MatcherParams.method="lsh"):
+    the full matchDescriptors pipeline — candidate generation swapped,
+    ratio/RANSAC stages shared — must recover planted correspondences."""
+
+    def test_match_descriptors_lsh(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from libwave_tpu.vision import MatcherParams, match_descriptors
+
+        N, W = 512, 8
+        d2 = rng.integers(0, 2**32, (N, W), dtype=np.uint32)
+        perm = rng.permutation(N)
+        d1 = d2[perm].copy()
+        # flip a few bits so matches are near, not identical
+        for i in range(N):
+            b = rng.integers(0, W * 32, 4)
+            for bb in b:
+                d1[i, bb // 32] ^= np.uint32(1) << np.uint32(bb % 32)
+        xy = rng.uniform(0, 400, (N, 2))
+        m = jnp.ones(N, bool)
+        idx2, valid, diag = match_descriptors(
+            jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(xy[perm]),
+            jnp.asarray(xy), m, m, jax.random.key(0),
+            MatcherParams(method="lsh", auto_remove_outliers=False),
+        )
+        got = np.asarray(idx2)[np.asarray(valid)]
+        want = perm[np.asarray(valid)]
+        assert np.asarray(valid).mean() > 0.5
+        assert (got == want).mean() > 0.95
+
+    def test_method_validation(self):
+        import pytest as _pytest
+
+        from libwave_tpu.utils.config import ConfigError
+        from libwave_tpu.vision import MatcherParams
+
+        with _pytest.raises(ConfigError):
+            MatcherParams(method="kdtree").validate()

@@ -144,3 +144,74 @@ def test_kitti_drive_0036_offline_vo():
     # and report the mean errors the reference prints
     print(f"KITTI drive_0036: mean pos err {pos_err.mean():.3f} m, "
           f"mean rot err {rot_err.mean():.4f} rad")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(DATASET_DIR), reason="reference dataset not mounted"
+)
+def test_kitti_drive_0036_windowed_marginalized():
+    """Windowed solves with Schur-complement marginalization + iterated
+    relinearization passes must meet the reference's GLOBAL bounds
+    (3.0 m / 0.5 rad) at W=80 — the regime where the round-3 frozen-anchor
+    chain was demoted to odometry mode (~15.7 m). Measured here: 1 pass
+    5.9 m (prior-carrying but linearized at meter-off estimates), 3 passes
+    1.79 m / 0.041 rad — inside the bound and BETTER than the global
+    full-batch solve's 2.80 m / 0.102 rad (windows relinearize tighter)."""
+    from libwave_tpu.pipelines.windowed_ba import (
+        WindowedBAParams,
+        solve_ba_windowed,
+    )
+
+    ds = load_vo_dataset(DATASET_DIR)
+    N = ds.num_frames
+    qbc = q_BC(ds.robot_q_GB.dtype)
+    q_gt = so3.quat_multiply(ds.robot_q_GB, qbc)
+    p_gt = ds.robot_p_GB
+
+    vis = np.asarray(ds.visible)
+    px = np.asarray(ds.pixels)
+    rows = []
+    for i in range(N):
+        for j in np.nonzero(vis[i])[0]:
+            rows.append((i, j, px[i, j, 0], px[i, j, 1]))
+    tracks = np.asarray(rows)
+
+    between = between_from_trajectory(
+        q_gt, p_gt, sigmas_rot=0.05, sigmas_trans=0.05,
+        noise_key=jax.random.key(5),
+    )
+    dtype = ds.robot_p_GB.dtype
+    priors = PriorBank(
+        i=jnp.asarray([0, 1], jnp.int32),
+        q=q_gt[:2],
+        p=p_gt[:2],
+        sqrt_info=jnp.concatenate(
+            [jnp.full((2, 3), 1e5, dtype), jnp.full((2, 3), 1e6, dtype)],
+            axis=-1,
+        ),
+    )
+    off_q = so3.exp_quat(jnp.asarray([-0.1, 0.1, 0.1], dtype))
+    off_p = jnp.asarray([0.05, -0.10, 0.20], dtype)
+    q0 = np.asarray(
+        so3.quat_multiply(q_gt, jnp.broadcast_to(off_q, q_gt.shape))
+    )
+    p0 = np.asarray(
+        p_gt + so3.quat_rotate(q_gt, jnp.broadcast_to(off_p, p_gt.shape))
+    )
+
+    est_q, est_p, rep = solve_ba_windowed(
+        np.asarray(ds.camera_K), tracks, N, q0, p0,
+        between=between, priors=priors,
+        wparams=WindowedBAParams(window=80, overlap=12, mode="marginalize",
+                                 passes=3),
+    )
+    assert rep["num_windows"] >= 3, rep["num_windows"]
+    pos_err = np.linalg.norm(est_p - np.asarray(p_gt), axis=-1)
+    rot_err = np.asarray(
+        so3.rotation_distance(jnp.asarray(est_q), q_gt)
+    )
+    print(f"KITTI windowed W=80: windows {rep['num_windows']}, "
+          f"max pos {pos_err.max():.3f} m, max rot {rot_err.max():.4f} rad, "
+          f"mean pos {pos_err.mean():.3f} m")
+    assert pos_err.max() < 3.0, f"pos {pos_err.max()}"
+    assert rot_err.max() < 0.5, f"rot {rot_err.max()}"

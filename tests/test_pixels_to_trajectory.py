@@ -123,3 +123,23 @@ class TestPixelsToTrajectory:
         assert rep["ate_rmse"] < 0.5 * rep["ate_rmse_deadreckon"], rep
         assert rep["num_tracks"] >= 60
         assert rep["frontend_frames_per_s"] > 0
+
+
+@pytest.mark.slow
+def test_track_sequences_batched_matches_single(sim_root):
+    """DP batch mode: vmapped whole-sequence tracking must reproduce the
+    single-sequence tracker exactly per matching key."""
+    from libwave_tpu.pipelines import track_sequences_batched
+
+    _, paths = load_euroc_camera_index(sim_root)
+    frames = read_image_sequence(paths[:10])
+    params = FrontendParams()
+    key = jax.random.key(3)
+    seq_keys = jax.random.split(key, 2)
+    batched = track_sequences_batched(
+        np.stack([frames, frames]), params=params, key=key
+    )
+    single0 = track_sequence(frames, params=params, key=seq_keys[0],
+                             scan=True)
+    np.testing.assert_allclose(batched[0], single0)
+    assert len(batched) == 2 and len(batched[1]) > 0
