@@ -24,6 +24,7 @@ driver keeps only the tail of stdout and a giant single-line JSON gets
 truncated (the fate of BENCH_r03).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -406,19 +407,26 @@ def bench_ba_batched():
     answer to latency-bound small solves is batching (proven for the front
     end at 2.7x); this measures it for the back end.
 
-    Saturation sweep (v5e, 2k-landmark/50-pose windows, measured once):
-    B=1 147 iter/s, B=8 268 (1.8x), B=32 226 — the batch axis saturates
-    the chip's gather/reduce bandwidth around B~8 and degrades past it, so
-    the per-chip sweet spot is a single-digit batch; fleet scaling beyond
-    that shards sessions across chips (dp), not deeper batches."""
+    Round-3 finding (profiled): the old PCG path saturated at B~8
+    (147 -> 268 agg iter/s, DEGRADING to 226 at B=32) because each CG
+    iteration is dominated by the landmark-side index crossings, whose
+    per-problem cost does not amortize with batch. The fix is structural:
+    for window-scale problems the DENSE Schur path turns the per-CG-iter
+    crossings into one scatter per LM iteration — and that scatter (47 of
+    82 ms/LM-iter at B=32) is itself replaced by the fused one-hot-matmul
+    G/A kernel (ops.segmm.dense_g_a_onehot). Measured v5e: B=1 207,
+    B=8 741, B=32 948 agg iter/s — 6.2x the single-problem PCG baseline
+    at B=32, where the old path managed 1.5x. The PCG rows are kept as
+    the saturation evidence."""
     import jax
     import jax.numpy as jnp
 
     from libwave_tpu.optim import BAConfig, solve_ba
 
     B = 8
+    B2 = 32
     probs, states = [], []
-    for i in range(B):
+    for i in range(B2):
         pr, st = make_problem(
             num_poses=50, num_landmarks=2000, obs_per_pose=240, seed=10 + i
         )
@@ -437,26 +445,49 @@ def bench_ba_batched():
         return p._replace(ell=p.ell._replace(shift_masks=sm))
 
     probs = [pad(p) for p in probs]
-    cfg = BAConfig(
+    cfg_pcg = BAConfig(
         max_iterations=8, cg_max_iters=20, cg_tol=1e-5,
         relative_decrease_tol=0.0, absolute_decrease_tol=0.0,
     )
-    f1 = jax.jit(lambda pr, st: solve_ba(pr, st, cfg)[1]["final_cost"])
+    cfg_dense = dataclasses.replace(
+        cfg_pcg, solver="dense", dense_max_landmarks=100_000
+    )
+    out = {}
+    f1 = jax.jit(lambda pr, st: solve_ba(pr, st, cfg_pcg)[1]["final_cost"])
     dt1, _ = _time_fn(f1, probs[0], states[0])
+    out["ba_window_iter_per_s_single"] = round(
+        cfg_pcg.max_iterations / dt1, 2
+    )
+    f1d = jax.jit(
+        lambda pr, st: solve_ba(pr, st, cfg_dense)[1]["final_cost"]
+    )
+    dt1d, _ = _time_fn(f1d, probs[0], states[0])
+    out["ba_window_iter_per_s_single_dense"] = round(
+        cfg_dense.max_iterations / dt1d, 2
+    )
 
+    for nb in (B, B2):
+        sp = jax.tree.map(lambda *xs: jnp.stack(xs), *probs[:nb])
+        ss = jax.tree.map(lambda *xs: jnp.stack(xs), *states[:nb])
+        fB = jax.jit(jax.vmap(
+            lambda pr, st: solve_ba(pr, st, cfg_dense)[1]["final_cost"]
+        ))
+        dtB, costs = _time_fn(fB, sp, ss)
+        out[f"ba_batched{nb}_iter_per_s"] = round(
+            nb * cfg_dense.max_iterations / dtB, 2
+        )
+        out[f"ba_batched{nb}_speedup"] = round(dt1 * nb / dtB, 2)
+    # saturation evidence: the old PCG path at the largest batch
     sp = jax.tree.map(lambda *xs: jnp.stack(xs), *probs)
     ss = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-    fB = jax.jit(jax.vmap(
-        lambda pr, st: solve_ba(pr, st, cfg)[1]["final_cost"]
+    fP = jax.jit(jax.vmap(
+        lambda pr, st: solve_ba(pr, st, cfg_pcg)[1]["final_cost"]
     ))
-    dtB, costs = _time_fn(fB, sp, ss)
-    return {
-        "ba_window_iter_per_s_single": round(cfg.max_iterations / dt1, 2),
-        f"ba_batched{B}_iter_per_s": round(
-            B * cfg.max_iterations / dtB, 2
-        ),
-        f"ba_batched{B}_speedup": round(dt1 * B / dtB, 2),
-    }
+    dtP, _ = _time_fn(fP, sp, ss)
+    out[f"ba_batched{B2}_pcg_iter_per_s"] = round(
+        B2 * cfg_pcg.max_iterations / dtP, 2
+    )
+    return out
 
 
 def bench_lsh():

@@ -148,3 +148,91 @@ def seg_broadcast_onehot(y: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     zeros)."""
     interpret = jax.default_backend() != "tpu"
     return _seg_broadcast(y, idx, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Fused dense-Schur G/A builder.
+#
+# The dense reduced system (optim.schur.dense_reduced_system) needs the
+# (N*Dj, 3M) scatter G of per-observation W blocks and A = G Hll^-1. The
+# XLA scatter-add building G is the batched back-end's single biggest cost
+# (measured 47 of 82 ms per LM iteration at B=32 on v5e); here each pose
+# row of G is a (Pmax x TM) one-hot matmul on the MXU — pose-ELL rows
+# scatter only into their own row, so the one-hot work is N*Pmax*M, tiny —
+# and Hll^-1 is applied in-kernel, so A needs no second pass and the
+# output layout (N, Dj, 3, M) makes G/A's 2D reshape transpose-free.
+# ---------------------------------------------------------------------------
+
+# symmetric-3x3 component index for (j, l), both triangles (schur._SYM3_AT)
+_SYM3_AT = {
+    (0, 0): 0, (0, 1): 1, (0, 2): 2,
+    (1, 0): 1, (1, 1): 3, (1, 2): 4,
+    (2, 0): 2, (2, 1): 4, (2, 2): 5,
+}
+
+_GTM = 512  # landmark columns per program
+
+
+def _g_a_kernel(idx_ref, w_ref, h_ref, g_ref, a_ref, *, tm, dj):
+    m = pl.program_id(1)
+    idxm = idx_ref[0]  # (1, Pmax)
+    w = w_ref[0]  # (C = dj*3, Pmax)
+    cols = tm * m + jax.lax.broadcasted_iota(
+        jnp.int32, (idxm.shape[1], tm), 1
+    )
+    mask = (idxm.T == cols).astype(w.dtype)  # (Pmax, TM)
+    g = jnp.dot(w, mask, preferred_element_type=jnp.float32)  # (C, TM)
+    g_ref[0] = g
+    # A[dj, l] = sum_j g[dj, j] * Hinv[j, l] per landmark column
+    h = h_ref[...]  # (6, TM) symmetric components
+    rows = []
+    for d in range(dj):
+        for l in range(3):
+            rows.append(
+                sum(g[d * 3 + j] * h[_SYM3_AT[(j, l)]] for j in range(3))
+            )
+    a_ref[0] = jnp.stack(rows)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _dense_g_a(W, lm_slot, hinv, interpret):
+    C, N, Pmax = W.shape
+    dj = C // 3
+    M = hinv.shape[1]
+    Wp = jnp.moveaxis(_pad_axis(W, 128, 2), 1, 0)  # (N, C, Pmaxp)
+    ix = _pad_axis(lm_slot.astype(jnp.int32), 128, 1)[:, None, :]
+    # padded slots keep id 0 but W there is zero, so they contribute zeros
+    hp = _pad_axis(hinv.astype(W.dtype), _GTM, 1)
+    Mp = hp.shape[1]
+    grid = (N, Mp // _GTM)
+    g, a = pl.pallas_call(
+        functools.partial(_g_a_kernel, tm=_GTM, dj=dj),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, C, Mp), W.dtype) for _ in range(2)
+        ],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, Wp.shape[2]), lambda n, m: (n, 0, 0)),
+            pl.BlockSpec((1, C, Wp.shape[2]), lambda n, m: (n, 0, 0)),
+            pl.BlockSpec((6, _GTM), lambda n, m: (0, m)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, _GTM), lambda n, m: (n, 0, m))
+            for _ in range(2)
+        ],
+        interpret=interpret,
+    )(ix, Wp, hp)
+    return g[:, :, :M], a[:, :, :M]
+
+
+def dense_g_a_onehot(W: jnp.ndarray, lm_slot: jnp.ndarray,
+                     hinv: jnp.ndarray):
+    """Fused dense-Schur G/A build: ``W`` (Dj*3, N, Pmax) pose-ELL blocks
+    (component-major, padding slots zero), ``lm_slot`` (N, Pmax) landmark
+    ids, ``hinv`` (6, M) inverted landmark blocks (symmetric components).
+
+    Returns ``(G, A)`` each (N, Dj*3, M) with rows ordered (dj, j) so that
+    ``x.reshape(N, Dj, 3, M).reshape(N*Dj, 3*M)`` is the 2D operand of
+    ``S_sub = A2 @ G2.T`` with no transpose."""
+    interpret = jax.default_backend() != "tpu"
+    return _dense_g_a(W, lm_slot, hinv, interpret)

@@ -683,26 +683,41 @@ def dense_reduced_system(blocks: SchurBlocks) -> jnp.ndarray:
     Dj = blocks.W.shape[0] // 3
     dtype = blocks.bp.dtype
 
-    # per-observation W blocks -> dense G (N, M, Dj, 3) scatter-add
-    if blocks.ell is not None:
-        Pmax = blocks.W.shape[2]
-        Wb = blocks.W.reshape(Dj, 3, N, Pmax).transpose(2, 3, 0, 1)
-        lm_slot = blocks.lm_idx.reshape(N, Pmax)
-        G4 = jnp.zeros((N, M, Dj, 3), dtype).at[
-            jnp.arange(N)[:, None], lm_slot
-        ].add(Wb)
-    else:
-        K = blocks.lm_idx.shape[0]
-        Wb = blocks.W.reshape(Dj, 3, K).transpose(2, 0, 1)  # (K, Dj, 3)
-        G4 = jnp.zeros((N, M, Dj, 3), dtype).at[
-            blocks.pose_idx, blocks.lm_idx
-        ].add(Wb)
+    # per-observation W blocks -> dense G. On TPU with the pose-ELL
+    # layout, the XLA scatter-add building G is the batched back-end's
+    # dominant cost (47 of 82 ms per LM iteration at B=32 on v5e); the
+    # fused one-hot-matmul kernel builds G AND A = G Hll^-1 on the MXU
+    # instead (each pose row scatters only into itself, so the one-hot
+    # work is N*Pmax*M).
+    if blocks.ell is not None and jax.default_backend() == "tpu":
+        from libwave_tpu.ops.segmm import dense_g_a_onehot
 
-    G = G4.transpose(0, 2, 1, 3).reshape(N * Dj, M * 3)
-    Hinv = _sym3_full(blocks.Hll_inv)  # (M, 3, 3)
-    A = jnp.einsum(
-        "amj,mjk->amk", G.reshape(N * Dj, M, 3), Hinv
-    ).reshape(N * Dj, M * 3)
+        Pmax = blocks.W.shape[2]
+        lm_slot = blocks.lm_idx.reshape(N, Pmax)
+        g3, a3 = dense_g_a_onehot(blocks.W, lm_slot, blocks.Hll_inv)
+        # rows are (dj, j)-ordered: the 2D flatten is transpose-free and
+        # consistent between A and G, which is all S_sub needs
+        G = g3.reshape(N * Dj, 3 * M)
+        A = a3.reshape(N * Dj, 3 * M)
+    else:
+        if blocks.ell is not None:
+            Pmax = blocks.W.shape[2]
+            Wb = blocks.W.reshape(Dj, 3, N, Pmax).transpose(2, 3, 0, 1)
+            lm_slot = blocks.lm_idx.reshape(N, Pmax)
+            G4 = jnp.zeros((N, M, Dj, 3), dtype).at[
+                jnp.arange(N)[:, None], lm_slot
+            ].add(Wb)
+        else:
+            K = blocks.lm_idx.shape[0]
+            Wb = blocks.W.reshape(Dj, 3, K).transpose(2, 0, 1)  # (K, Dj, 3)
+            G4 = jnp.zeros((N, M, Dj, 3), dtype).at[
+                blocks.pose_idx, blocks.lm_idx
+            ].add(Wb)
+        G = G4.transpose(0, 2, 1, 3).reshape(N * Dj, M * 3)
+        Hinv = _sym3_full(blocks.Hll_inv)  # (M, 3, 3)
+        A = jnp.einsum(
+            "amj,mjk->amk", G.reshape(N * Dj, M, 3), Hinv
+        ).reshape(N * Dj, M * 3)
     S_sub = A @ G.T  # (N*Dj, N*Dj) — the MXU-bound step
 
     # embed into the full (N, D, N, D) system

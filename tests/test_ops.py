@@ -104,3 +104,64 @@ class TestFusedTop2:
         np.testing.assert_array_equal(np.asarray(best), 0)
         np.testing.assert_array_equal(np.asarray(second), 0)
         np.testing.assert_array_equal(np.asarray(idx), 0)  # first occurrence
+
+
+class TestSegMM:
+    """One-hot-matmul segment kernels (ops.segmm) vs reference numpy."""
+
+    def test_seg_reduce_and_broadcast(self, rng):
+        import jax.numpy as jnp
+
+        from libwave_tpu.ops.segmm import (
+            seg_broadcast_onehot,
+            seg_reduce_onehot,
+        )
+
+        K, M, C = 1000, 333, 4
+        idx = rng.integers(0, M, K).astype(np.int32)
+        vals = rng.standard_normal((C, K)).astype(np.float32)
+        out = np.asarray(
+            seg_reduce_onehot(jnp.asarray(vals), jnp.asarray(idx), M)
+        )
+        ref = np.zeros((C, M), np.float32)
+        np.add.at(ref.T, idx, vals.T)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+        y = rng.standard_normal((C, M)).astype(np.float32)
+        outb = np.asarray(
+            seg_broadcast_onehot(jnp.asarray(y), jnp.asarray(idx))
+        )
+        np.testing.assert_allclose(outb, y[:, idx], atol=0)
+
+    def test_dense_g_a_matches_scatter(self, rng):
+        import jax.numpy as jnp
+
+        from libwave_tpu.ops.segmm import dense_g_a_onehot
+
+        N, Pmax, M, Dj = 7, 40, 61, 6
+        C = Dj * 3
+        W = rng.standard_normal((C, N, Pmax)).astype(np.float32)
+        lm_slot = rng.integers(0, M, (N, Pmax)).astype(np.int32)
+        # zero-weight padding slots (the ELL contract)
+        W[:, :, -5:] = 0.0
+        hcomp = rng.standard_normal((6, M)).astype(np.float32)
+
+        g3, a3 = dense_g_a_onehot(
+            jnp.asarray(W), jnp.asarray(lm_slot), jnp.asarray(hcomp)
+        )
+        # reference: scatter G then apply Hinv
+        G_ref = np.zeros((N, C, M), np.float32)
+        for n in range(N):
+            for s in range(Pmax):
+                G_ref[n, :, lm_slot[n, s]] += W[:, n, s]
+        np.testing.assert_allclose(np.asarray(g3), G_ref, atol=1e-4)
+        at = {(0, 0): 0, (0, 1): 1, (0, 2): 2, (1, 0): 1, (1, 1): 3,
+              (1, 2): 4, (2, 0): 2, (2, 1): 4, (2, 2): 5}
+        A_ref = np.zeros((N, C, M), np.float32)
+        for d in range(Dj):
+            for l in range(3):
+                A_ref[:, d * 3 + l] = sum(
+                    G_ref[:, d * 3 + j] * hcomp[at[(j, l)]][None]
+                    for j in range(3)
+                )
+        np.testing.assert_allclose(np.asarray(a3), A_ref, atol=1e-3)
