@@ -15,12 +15,17 @@ indicator S[m, k] = (lm_idx[k] == m) is generated tile-by-tile in VMEM
     reduce:    out (C, M) = v (C, K) @ S^T
     broadcast: out (C, K) = y (C, M) @ S
 
-Work is K*M compares + MACs instead of K gathered elements, so this wins
-exactly in the small-M regime (the batched-window backend: M ~ 2k,
-K ~ 12k slots per window) and loses for map-scale M — callers gate on M
-(see optim.schur.use_onehot_segments). Unlike the log-shift scan path,
-no landmark-sorted permutation or shift masks are needed: the bank is
-consumed directly in pose-ELL order.
+Work is K*M compares + MACs instead of K gathered elements, so this is a
+small-M-regime tool (the batched-window backend: M ~ 2k, K ~ 12k slots
+per window) and loses for map-scale M. On-chip at those shapes the
+standalone reduce/broadcast kernels TIE the isolated XLA gathers (both
+~0.5-0.9 ms — a per-op latency floor, not bandwidth); the measured win
+comes from the fused dense-Schur builder below, which restructures the
+computation so the crossing happens once per LM iteration instead of
+once per CG iteration. The standalone kernels ship as library
+primitives. Unlike the log-shift scan path, no landmark-sorted
+permutation or shift masks are needed: the bank is consumed directly in
+pose-ELL order.
 
 Off-TPU the kernels run in interpreter mode (tests); numerics are exact
 f32 sums (0/1 masks, f32 accumulation).
@@ -36,6 +41,16 @@ from jax.experimental import pallas as pl
 
 _TK = 512  # observation slots per tile
 _TM = 512  # landmark slots per tile
+
+
+def on_tpu_backend() -> bool:
+    """True when compute will actually land on a TPU: honors a
+    ``jax.default_device`` override (a TPU-backend process timing a
+    CPU-device denominator must NOT pick the TPU kernels)."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", "tpu") == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 def _pad_axis(x, mult, axis):
@@ -96,8 +111,7 @@ def seg_reduce_onehot(vals: jnp.ndarray, idx: jnp.ndarray,
     """(C, K) values + (K,) segment ids -> (C, M) per-segment sums via
     tiled one-hot matmuls. Padding slots must carry zero values (their
     id is free to point anywhere live)."""
-    interpret = jax.default_backend() != "tpu"
-    return _seg_reduce(vals, idx, num_segments, interpret)
+    return _seg_reduce(vals, idx, num_segments, not on_tpu_backend())
 
 
 def _broadcast_kernel(idx_ref, y_ref, out_ref, *, tm):
@@ -146,8 +160,7 @@ def seg_broadcast_onehot(y: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """(C, M) per-segment values + (K,) segment ids -> (C, K) gathered
     view ``y[:, idx]`` via tiled one-hot matmuls (ids beyond M broadcast
     zeros)."""
-    interpret = jax.default_backend() != "tpu"
-    return _seg_broadcast(y, idx, interpret)
+    return _seg_broadcast(y, idx, not on_tpu_backend())
 
 
 # ---------------------------------------------------------------------------
@@ -234,5 +247,4 @@ def dense_g_a_onehot(W: jnp.ndarray, lm_slot: jnp.ndarray,
     Returns ``(G, A)`` each (N, Dj*3, M) with rows ordered (dj, j) so that
     ``x.reshape(N, Dj, 3, M).reshape(N*Dj, 3*M)`` is the 2D operand of
     ``S_sub = A2 @ G2.T`` with no transpose."""
-    interpret = jax.default_backend() != "tpu"
-    return _dense_g_a(W, lm_slot, hinv, interpret)
+    return _dense_g_a(W, lm_slot, hinv, not on_tpu_backend())

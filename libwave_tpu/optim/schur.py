@@ -689,8 +689,9 @@ def dense_reduced_system(blocks: SchurBlocks) -> jnp.ndarray:
     # fused one-hot-matmul kernel builds G AND A = G Hll^-1 on the MXU
     # instead (each pose row scatters only into itself, so the one-hot
     # work is N*Pmax*M).
-    if blocks.ell is not None and jax.default_backend() == "tpu":
-        from libwave_tpu.ops.segmm import dense_g_a_onehot
+    from libwave_tpu.ops.segmm import dense_g_a_onehot, on_tpu_backend
+
+    if blocks.ell is not None and on_tpu_backend():
 
         Pmax = blocks.W.shape[2]
         lm_slot = blocks.lm_idx.reshape(N, Pmax)

@@ -110,6 +110,16 @@ class WindowedVIOParams:
     #   "duplicate" — all into both (double-counts those observations;
     #                 diagnostic only).
     boundary_obs: str = "split"
+    # Marginal-prior regularization against fixed-lag inconsistency: the
+    # prior's Lambda/b are linearized at each window's solution and never
+    # re-linearized, so their errors (growing with chain-drift) enter as
+    # confidently-wrong information that fresh windows cannot bend back.
+    # ``prior_scale`` < 1 inflates the carried covariance (treating
+    # linearization error as process noise); ``prior_gradient=False``
+    # additionally drops the carried gradient b (prior centered exactly
+    # at the previous solution).
+    prior_scale: float = 1.0
+    prior_gradient: bool = True
     # Forward passes of the whole window chain (iterated fixed-lag
     # smoothing). Pass p>1 re-runs every window with its initialization
     # (and re-triangulation) taken from pass p-1's estimates, so the
@@ -593,6 +603,11 @@ def run_euroc_vio_windowed(
             H, b = red_hess(marg_problem, state)
             prior_Lambda, prior_b = schur_marginalize(
                 np.asarray(H), np.asarray(b), keep_dim=P
+            )
+            prior_Lambda = prior_Lambda * wparams.prior_scale
+            prior_b = (
+                prior_b * wparams.prior_scale
+                if wparams.prior_gradient else np.zeros(P)
             )
             excl_pairs = excl_next
             t_marg += _time.perf_counter() - tm0

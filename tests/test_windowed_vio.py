@@ -159,3 +159,30 @@ def test_marginalize_vs_freeze_ablation(mid_root):
     assert rep_f["ate_rmse"] < 0.05, rep_f["ate_rmse"]
     # the prior-carrying chain should not be materially worse
     assert rep_m["ate_rmse"] < rep_f["ate_rmse"] * 1.5 + 1e-3
+
+
+@pytest.mark.slow
+def test_multipass_checkpoint_resume(mid_root, tmp_path):
+    """Iterated smoothing passes x crash-resume: stopping mid-pass-2 and
+    resuming must reproduce the uninterrupted 2-pass chain exactly."""
+    p = EurocVIOParams()
+    wp = WindowedVIOParams(window=60, overlap=10, passes=2)
+    ck = str(tmp_path / "ckpt2")
+
+    est_full, rep_full = run_euroc_vio_windowed(mid_root, p, wp)
+    assert rep_full["passes"] == 2
+
+    _, rep_partial = run_euroc_vio_windowed(
+        mid_root, p, wp, checkpoint_dir=ck, stop_after_windows=5
+    )
+    assert not rep_partial["completed"]
+
+    est_res, rep_res = run_euroc_vio_windowed(
+        mid_root, p, wp, checkpoint_dir=ck
+    )
+    assert rep_res["completed"]
+    np.testing.assert_allclose(
+        np.asarray(est_res.poses.t), np.asarray(est_full.poses.t),
+        atol=1e-9,
+    )
+    assert abs(rep_res["ate_rmse"] - rep_full["ate_rmse"]) < 1e-9
