@@ -67,7 +67,14 @@ def schur_marginalize(H, b, keep_dim: int, rel_eps: float = 1e-10):
     # direction is barely constrained (only ever weakens the prior)
     eps = rel_eps * np.maximum(np.diag(Hoo), 1.0)
     Hoo = Hoo + np.diag(eps)
-    sol = np.linalg.solve(Hoo, np.concatenate([Hok, b[:cut, None]], axis=1))
+    rhs = np.concatenate([Hok, b[:cut, None]], axis=1)
+    try:
+        sol = np.linalg.solve(Hoo, rhs)
+    except np.linalg.LinAlgError:
+        # a truly information-free out-direction (all factors silenced)
+        # makes H_oo numerically singular even with the ridge; the
+        # minimum-norm solve drops it, which only weakens the prior
+        sol = np.linalg.lstsq(Hoo, rhs, rcond=None)[0]
     Lam = H[cut:, cut:] - Hok.T @ sol[:, :keep_dim]
     b_m = b[cut:] - Hok.T @ sol[:, -1]
     Lam = 0.5 * (Lam + Lam.T)
