@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["schur_marginalize"]
+__all__ = ["schur_marginalize", "psd_project"]
 
 
 def schur_marginalize(H, b, keep_dim: int, rel_eps: float = 1e-10):
@@ -77,11 +77,16 @@ def schur_marginalize(H, b, keep_dim: int, rel_eps: float = 1e-10):
         sol = np.linalg.lstsq(Hoo, rhs, rcond=None)[0]
     Lam = H[cut:, cut:] - Hok.T @ sol[:, :keep_dim]
     b_m = b[cut:] - Hok.T @ sol[:, -1]
-    Lam = 0.5 * (Lam + Lam.T)
+    return psd_project(0.5 * (Lam + Lam.T), b_m)
 
+
+def psd_project(Lam, b_m):
+    """Clip negative curvature (accumulation noise) and project the rhs
+    onto the surviving range — shared by the host complement above and
+    the on-device complement (pipelines.vio.vio_marginalize_device)."""
+    Lam = np.asarray(Lam, np.float64)
+    b_m = np.asarray(b_m, np.float64)
     w, V = np.linalg.eigh(Lam)
     keep = w > 0.0
     Vk = V[:, keep]
-    Lam = (Vk * w[keep]) @ Vk.T
-    b_m = Vk @ (Vk.T @ b_m)
-    return Lam, b_m
+    return (Vk * w[keep]) @ Vk.T, Vk @ (Vk.T @ b_m)

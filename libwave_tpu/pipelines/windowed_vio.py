@@ -63,7 +63,7 @@ from libwave_tpu.datasets.euroc import (
 )
 from libwave_tpu.geometry.se3 import SE3
 from libwave_tpu.optim import schur
-from libwave_tpu.optim.marginalization import schur_marginalize
+from libwave_tpu.optim.marginalization import psd_project, schur_marginalize
 from libwave_tpu.pipelines.euroc_vio import (
     EurocVIOParams,
     _camera_P_mats,
@@ -120,6 +120,13 @@ class WindowedVIOParams:
     # at the previous solution).
     prior_scale: float = 1.0
     prior_gradient: bool = True
+    # Where the Schur complement runs: None = auto (on device when the
+    # backend is a TPU — pulling only the (O*15)^2 prior instead of the
+    # full (W*15)^2 Hessian through the runtime; measured 99 s -> ~1 s of
+    # transfer at MH_01 scale), True/False to force. The host path does
+    # the complement in f64 — keep it for un-capped stiff chains where
+    # f32 cancellation headroom matters (see bench_euroc_mh01_scale).
+    marg_device: bool | None = None
     # Forward passes of the whole window chain (iterated fixed-lag
     # smoothing). Pass p>1 re-runs every window with its initialization
     # (and re-triangulation) taken from pass p-1's estimates, so the
@@ -352,9 +359,26 @@ def run_euroc_vio_windowed(
     prior_Lambda = np.zeros((P, P))
     prior_b = np.zeros(P)
     if marg:
-        red_hess = jax.jit(
-            lambda pr, st: vio_reduced_hessian(pr, st, params.huber_delta)
+        from libwave_tpu.ops.segmm import on_tpu_backend
+
+        marg_dev = (
+            wparams.marg_device if wparams.marg_device is not None
+            else on_tpu_backend()
         )
+        if marg_dev:
+            from libwave_tpu.pipelines.vio import vio_marginalize_device
+
+            red_hess = jax.jit(
+                lambda pr, st: vio_marginalize_device(
+                    pr, st, P, params.huber_delta
+                )
+            )
+        else:
+            red_hess = jax.jit(
+                lambda pr, st: vio_reduced_hessian(
+                    pr, st, params.huber_delta
+                )
+            )
         # factors entering the marginalization: IMU/bias intervals up to
         # the overlap boundary only (the overlap's own intervals belong to
         # the next window)
@@ -600,10 +624,16 @@ def run_euroc_vio_windowed(
                 obs_weight=jnp.asarray(wm_p) * pad_mask,
                 imu_sqrt_info=problem.imu_sqrt_info * imu_marg_mask_j,
             )
-            H, b = red_hess(marg_problem, state)
-            prior_Lambda, prior_b = schur_marginalize(
-                np.asarray(H), np.asarray(b), keep_dim=P
-            )
+            if marg_dev:
+                Lam, b_m = red_hess(marg_problem, state)
+                prior_Lambda, prior_b = psd_project(
+                    np.asarray(Lam), np.asarray(b_m)
+                )
+            else:
+                H, b = red_hess(marg_problem, state)
+                prior_Lambda, prior_b = schur_marginalize(
+                    np.asarray(H), np.asarray(b), keep_dim=P
+                )
             prior_Lambda = prior_Lambda * wparams.prior_scale
             prior_b = (
                 prior_b * wparams.prior_scale

@@ -186,3 +186,25 @@ def test_multipass_checkpoint_resume(mid_root, tmp_path):
         atol=1e-9,
     )
     assert abs(rep_res["ate_rmse"] - rep_full["ate_rmse"]) < 1e-9
+
+
+@pytest.mark.slow
+def test_marg_device_path_parity(mid_root):
+    """The on-device Schur complement (vio_marginalize_device) must chain
+    to the same trajectory as the host-f64 path (on CPU both run f64, so
+    agreement is tight)."""
+    p = EurocVIOParams(max_keyframes=120)
+    est_h, rep_h = run_euroc_vio_windowed(
+        mid_root, p, WindowedVIOParams(window=60, overlap=10,
+                                       marg_device=False))
+    est_d, rep_d = run_euroc_vio_windowed(
+        mid_root, p, WindowedVIOParams(window=60, overlap=10,
+                                       marg_device=True))
+    assert rep_h["num_windows"] == rep_d["num_windows"] == 3
+    # the paths use slightly different ridge constants (1e-7 vs 1e-10
+    # Marquardt-scaled), so agreement is millimetric, not bitwise
+    np.testing.assert_allclose(
+        np.asarray(est_d.poses.t), np.asarray(est_h.poses.t), atol=5e-3,
+        rtol=0,
+    )
+    assert abs(rep_d["ate_rmse"] - rep_h["ate_rmse"]) < 1e-3
