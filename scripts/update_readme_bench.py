@@ -26,7 +26,10 @@ END = "<!-- BENCH_TABLE_END -->"
 
 def _fmt(v, nd=2):
     if isinstance(v, float):
-        return f"{v:.{nd}f}".rstrip("0").rstrip(".")
+        s = f"{v:.{nd}f}"
+        if "." in s:  # only strip FRACTIONAL zeros ("460" must stay "460")
+            s = s.rstrip("0").rstrip(".")
+        return s
     return str(v)
 
 
@@ -117,6 +120,16 @@ def build_rows(rec: dict) -> list[tuple[str, str]]:
             if m:
                 val += f" / {_fmt(v)} pairs/s batched x{m.group(1)}"
         rows.append(("Front-end two-frame pipeline", val))
+    if need("frontend_single_frames_per_s_752x480",
+            "frontend_batched8_frames_per_s", "frontend_batched8_speedup"):
+        rows.append((
+            "Whole-sequence tracking at 752x480 (FAST->BRISK->match->track)",
+            f"{_fmt(x['frontend_single_frames_per_s_752x480'], 1)} fps "
+            f"single / {_fmt(x['frontend_batched8_frames_per_s'], 1)} fps "
+            f"aggregate at B=8 ({_fmt(x['frontend_batched8_speedup'], 2)}x "
+            "— full-res frames saturate one chip; batch at lower "
+            "resolutions)",
+        ))
     if need("lsh_16k_matches_per_s", "lsh_16k_recall_planted"):
         rows.append((
             "LSH matcher (16k x 16k binary descriptors)",
