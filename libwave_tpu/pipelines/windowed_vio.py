@@ -36,7 +36,9 @@ solver itself windows:
 TPU framing: the window march is the sequential axis; throughput scaling
 comes from batching independent sequences/sessions (vmap over the window
 solve), not from parallelizing one chain. The marginalization complement
-itself runs host-side in f64 (see optim.marginalization for why).
+runs on device by default on TPU backends (pulling only the prior block
+through the runtime; WindowedVIOParams.marg_device) with the host-f64
+path of optim.marginalization as the precision reference.
 """
 
 from __future__ import annotations
