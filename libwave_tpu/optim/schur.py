@@ -356,7 +356,7 @@ def build_normal_equations(
     damping, free_pose,
     extra_Hpp=None, extra_bp=None, couplings=None,
     ell: EllLayout | None = None, pose_dim: int | None = None,
-    axis_name: str | None = None,
+    axis_name: str | None = None, sum_dtype=None,
 ) -> SchurBlocks:
     """Assemble damped normal-equation blocks from a linearized observation
     bank (the TPU analog of sparse assembly).
@@ -393,6 +393,21 @@ def build_normal_equations(
     ``free_pose`` must be global-shaped and replicated (pose-graph factors
     are evaluated redundantly on every device — they are tiny next to the
     observation bank).
+
+    ``sum_dtype`` (mixed-precision stiff-Hessian path, dense solver only):
+    cast the pose-block sums ``Hpp``/``bp``/``C`` to this dtype (float64)
+    BEFORE folding in ``extra_Hpp``/``extra_bp``. Rationale: on stiff VIO
+    chains the IMU contributions are ~7e8 while vision information is
+    ~1e2 — co-located f32 entries annihilate the vision term entirely
+    (1e2/7e8 < f32 eps) and 20 Hz keyframe windows silently diverge on
+    chip while CPU f64 is fine (the round-4 "information capping"
+    workaround). Each individual f32 block carries full relative
+    precision, so summing in f64 and factorizing in f64
+    (:func:`dense_schur_solve`) restores f64-parity while the flop-heavy
+    linearization and the G/A MXU matmuls stay f32. Requires
+    ``utils.precision.allow_explicit_f64()`` (called at import by optim
+    modules). The matrix-free PCG path ignores the wide blocks' extra
+    precision — use with the dense solver.
     """
     if axis_name is not None and ell is None:
         raise ValueError("axis_name requires the pose-ELL layout")
@@ -479,11 +494,15 @@ def build_normal_equations(
     if ell is not None:
         W = W.reshape(Dj * 3, nb, -1)  # matvec broadcasting layout
 
-    # fold in pose-graph factor contributions (diagonal + rhs)
+    # fold in pose-graph factor contributions (diagonal + rhs); under
+    # sum_dtype the summation happens in the wide dtype (see docstring)
+    if sum_dtype is not None:
+        Hpp = Hpp.astype(sum_dtype)
+        bp = bp.astype(sum_dtype)
     if extra_Hpp is not None:
-        Hpp = Hpp + extra_Hpp
+        Hpp = Hpp + extra_Hpp.astype(Hpp.dtype)
     if extra_bp is not None:
-        bp = bp + extra_bp
+        bp = bp + extra_bp.astype(bp.dtype)
 
     # Additive damping floor: must sit well above the dtype's cancellation
     # noise or degenerate blocks (unobserved landmarks) make the Schur
@@ -491,7 +510,7 @@ def build_normal_equations(
     floor = 1e-6 if dtype == jnp.float32 else 1e-10
 
     # Marquardt scaling on pose blocks: diag *= (1 + lambda) + floor.
-    eye = jnp.eye(D, dtype=dtype)
+    eye = jnp.eye(D, dtype=Hpp.dtype)
     diag = jnp.diagonal(Hpp, axis1=-2, axis2=-1)
     Hpp = Hpp + eye * (damping * diag + floor)[..., None, :]
 
@@ -502,11 +521,12 @@ def build_normal_equations(
     Hll_inv = sym3_inv(Hll)
 
     if couplings is None:
-        C = jnp.zeros((0, D, D), dtype=dtype)
+        C = jnp.zeros((0, D, D), dtype=Hpp.dtype)
         ci = jnp.zeros((0,), dtype=jnp.int32)
         cj = jnp.zeros((0,), dtype=jnp.int32)
     else:
         C, ci, cj = couplings
+        C = C.astype(Hpp.dtype)
     return SchurBlocks(
         Hpp=Hpp, Hll_inv=Hll_inv, W=W, bp=bp, bl=bl,
         pose_idx=pose_idx, lm_idx=lm_idx, lm_perm=lm_perm,
@@ -681,7 +701,12 @@ def dense_reduced_system(blocks: SchurBlocks) -> jnp.ndarray:
     N = blocks.Hpp.shape[0]
     M = blocks.bl.shape[-1]
     Dj = blocks.W.shape[0] // 3
+    # S inherits the (possibly widened, see build_normal_equations
+    # sum_dtype) pose-block dtype; the G/A matmuls stay in the observation
+    # bank's dtype (f32 on the MXU) — their entries are vision-scale and
+    # individually precise, only the summation needs the headroom.
     dtype = blocks.bp.dtype
+    wdtype = blocks.W.dtype
 
     # per-observation W blocks -> dense G. On TPU with the pose-ELL
     # layout, the XLA scatter-add building G is the batched back-end's
@@ -705,13 +730,13 @@ def dense_reduced_system(blocks: SchurBlocks) -> jnp.ndarray:
             Pmax = blocks.W.shape[2]
             Wb = blocks.W.reshape(Dj, 3, N, Pmax).transpose(2, 3, 0, 1)
             lm_slot = blocks.lm_idx.reshape(N, Pmax)
-            G4 = jnp.zeros((N, M, Dj, 3), dtype).at[
+            G4 = jnp.zeros((N, M, Dj, 3), wdtype).at[
                 jnp.arange(N)[:, None], lm_slot
             ].add(Wb)
         else:
             K = blocks.lm_idx.shape[0]
             Wb = blocks.W.reshape(Dj, 3, K).transpose(2, 0, 1)  # (K, Dj, 3)
-            G4 = jnp.zeros((N, M, Dj, 3), dtype).at[
+            G4 = jnp.zeros((N, M, Dj, 3), wdtype).at[
                 blocks.pose_idx, blocks.lm_idx
             ].add(Wb)
         G = G4.transpose(0, 2, 1, 3).reshape(N * Dj, M * 3)
@@ -723,7 +748,7 @@ def dense_reduced_system(blocks: SchurBlocks) -> jnp.ndarray:
 
     # embed into the full (N, D, N, D) system
     S = jnp.zeros((N, D, N, D), dtype)
-    sub4 = S_sub.reshape(N, Dj, N, Dj)
+    sub4 = S_sub.reshape(N, Dj, N, Dj).astype(dtype)
     S = S.at[:, :Dj, :, :Dj].add(-sub4)
     # pose diagonal blocks (damped as built) on the block diagonal
     S = S.at[jnp.arange(N), :, jnp.arange(N), :].add(blocks.Hpp)
@@ -734,6 +759,27 @@ def dense_reduced_system(blocks: SchurBlocks) -> jnp.ndarray:
             jnp.swapaxes(blocks.C, -1, -2)
         )
     return S
+
+
+def chol_solve_mixed(Se, rhs):
+    """SPD solve ``Se X = rhs`` — shared by the f32 and widened-f64 paths.
+
+    Precision notes from the stiff-VIO bring-up (v5e, n=1800): (1) the
+    exact f64 factorization is REQUIRED — f32-factorize + f64-residual
+    iterative refinement diverges on stiff windows (measured ATE 5.4 m vs
+    0.075 m; kappa_eq * eps32 >= 1 so the refinement doesn't contract);
+    (2) XLA's f64 Cholesky runs ~132 ms at n=1800 (vs 6 ms f32) and a
+    hand-blocked right-looking variant with MXU matmul trailing updates
+    measures the SAME 139 ms — the cost is intrinsic to f64 panel math,
+    not XLA's schedule, so the native call stays. ``rhs`` is (n, k);
+    returns (n, k) in Se's dtype."""
+    L = jnp.linalg.cholesky(Se)
+    y = jax.lax.linalg.triangular_solve(
+        L, rhs, left_side=True, lower=True
+    )
+    return jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True
+    )
 
 
 def dense_schur_solve(blocks: SchurBlocks, b: jnp.ndarray) -> jnp.ndarray:
@@ -780,13 +826,10 @@ def dense_schur_solve(blocks: SchurBlocks, b: jnp.ndarray) -> jnp.ndarray:
     )
 
     bf = (b.reshape(-1) * mf) * d
-    L = jnp.linalg.cholesky(Se)
-    y = jax.lax.linalg.triangular_solve(
-        L, bf[:, None], left_side=True, lower=True
-    )
-    x = jax.lax.linalg.triangular_solve(
-        L, y, left_side=True, lower=True, transpose_a=True
-    )
+    # f32 path: plain Cholesky; widened (f64) path: f32-factorization +
+    # f64 iterative refinement (see chol_solve_mixed — the f64 Cholesky
+    # itself is 21x slower on TPU while f64 matmuls are fast)
+    x = chol_solve_mixed(Se, bf[:, None])
     return (x[:, 0] * d * mf).reshape(N, D)
 
 

@@ -33,9 +33,13 @@ from libwave_tpu.optim.reprojection import (
     linearize_reprojection_ell,
     reprojection_residual_ell,
 )
-from libwave_tpu.utils.precision import f32_matmuls
+from libwave_tpu.utils.precision import allow_explicit_f64, f32_matmuls
 
 D = 15  # keyframe tangent dim: [pose(6), vel(3), bg(3), ba(3)]
+
+# permit explicit f64 arrays (mixed-precision stiff-Hessian path) without
+# changing any implicit/default dtype behavior — see utils.precision
+allow_explicit_f64()
 
 
 class VIOState(NamedTuple):
@@ -122,6 +126,17 @@ class VIOConfig:
     dense_max_g_bytes: float = 1.5e9
     # auto-only landmark cap (see optim.ba.BAConfig.dense_max_landmarks)
     dense_max_landmarks: int = 1500
+    # Mixed-precision stiff-Hessian path ("float64"): sum the pose-block
+    # normal equations and factorize the reduced system in f64 while all
+    # linearization and the G/A MXU matmuls stay f32. Required for f32
+    # correctness when the IMU whitening is stiff (20 Hz keyframes make
+    # IMU Hessian entries ~7e8; co-located vision information ~1e2 is
+    # BELOW f32 eps of that and annihilates — the on-chip solve then
+    # silently diverges while CPU f64 is fine). Dense-solver path only;
+    # ignored by PCG. Measured v5e: f64 cholesky at N*D=1800 is 170 ms vs
+    # 30 ms f32 — the windowed 20 Hz pipeline enables this automatically
+    # (windowed_vio auto-gates on max |imu_sqrt_info| > 3e4).
+    hessian_dtype: str | None = None
 
 
 def _imu_linearize(problem: VIOProblem, state: VIOState,
@@ -305,11 +320,17 @@ def vio_cost(problem: VIOProblem, state: VIOState,
 
 def _linearize_vio(problem: VIOProblem, state: VIOState, lam,
                    huber_delta: float | None = None,
-                   axis_name: str | None = None) -> schur.SchurBlocks:
+                   axis_name: str | None = None,
+                   hessian_dtype: str | None = None) -> schur.SchurBlocks:
     """Linearize every factor (reprojection + IMU + bias walk + bias prior
     + marginal head prior) at ``state`` and assemble damped normal-equation
     blocks. Shared by the LM iteration and by
-    :func:`vio_reduced_hessian` (marginalization, with ``lam=0``)."""
+    :func:`vio_reduced_hessian` (marginalization, with ``lam=0``).
+
+    ``hessian_dtype``: widen the pose-block sums (IMU/bias/prior extras +
+    vision Hpp) to this dtype before they meet — the stiff-chain f32
+    annihilation fix (VIOConfig.hessian_dtype). Individual factor blocks
+    stay f32 (each is relatively precise); only their summation widens."""
     N = problem.free_pose.shape[0]
     M = state.lm.shape[0]
     dtype = state.p.dtype
@@ -368,37 +389,48 @@ def _linearize_vio(problem: VIOProblem, state: VIOState, lam,
 
     JiT, JjT = jnp.swapaxes(Ji, -1, -2), jnp.swapaxes(Jj, -1, -2)
     BiT, BjT = jnp.swapaxes(Bi, -1, -2), jnp.swapaxes(Bj, -1, -2)
+    sdt = jnp.dtype(hessian_dtype) if hessian_dtype is not None else None
+    wide = (lambda x: x.astype(sdt)) if sdt is not None else (lambda x: x)
     extra_Hpp = (
-        jax.ops.segment_sum(JiT @ Ji + BiT @ Bi, bi, num_segments=N)
-        + jax.ops.segment_sum(JjT @ Jj + BjT @ Bj, bj, num_segments=N)
+        jax.ops.segment_sum(wide(JiT @ Ji + BiT @ Bi), bi, num_segments=N)
+        + jax.ops.segment_sum(wide(JjT @ Jj + BjT @ Bj), bj, num_segments=N)
     )
     extra_bp = jax.ops.segment_sum(
-        -jnp.einsum("fij,fj->fi", JiT, r_imu)
-        - jnp.einsum("fij,fj->fi", BiT, r_bw),
+        wide(-jnp.einsum("fij,fj->fi", JiT, r_imu)
+             - jnp.einsum("fij,fj->fi", BiT, r_bw)),
         bi, num_segments=N,
     ) + jax.ops.segment_sum(
-        -jnp.einsum("fij,fj->fi", JjT, r_imu)
-        - jnp.einsum("fij,fj->fi", BjT, r_bw),
+        wide(-jnp.einsum("fij,fj->fi", JjT, r_imu)
+             - jnp.einsum("fij,fj->fi", BjT, r_bw)),
         bj, num_segments=N,
     )
-    C_bank, ci_bank, cj_bank = JiT @ Jj + BiT @ Bj, bi, bj
+    C_bank, ci_bank, cj_bank = wide(JiT @ Jj + BiT @ Bj), bi, bj
 
     if problem.bias_prior_sqrt_info is not None:
+        # (6,) shared across keyframes, or (N, 6) per-keyframe — the
+        # windowed marginalization restricts the prior to out-frames via
+        # the per-keyframe form so overlap keyframes' bias priors are not
+        # double-counted across the chain (counted once, in the window
+        # that marginalizes them).
         si = problem.bias_prior_sqrt_info
-        si2 = si * si
-        diag = jnp.zeros((D,), dtype).at[9:15].set(si2)
-        extra_Hpp = extra_Hpp + jnp.eye(D, dtype=dtype) * diag[None, None, :]
-        rp = jnp.concatenate([state.bg, state.ba], axis=-1)  # (N, 6)
-        extra_bp = extra_bp - jnp.concatenate(
-            [jnp.zeros((N, 9), dtype), rp * si2], axis=-1
+        si2_n = jnp.broadcast_to(si * si, (N, 6))  # (N, 6)
+        diag_n = jnp.concatenate(
+            [jnp.zeros((N, 9), dtype), si2_n], axis=-1
+        )  # (N, D)
+        extra_Hpp = extra_Hpp + wide(
+            jnp.eye(D, dtype=dtype)[None] * diag_n[:, None, :]
         )
+        rp = jnp.concatenate([state.bg, state.ba], axis=-1)  # (N, 6)
+        extra_bp = extra_bp - wide(jnp.concatenate(
+            [jnp.zeros((N, 9), dtype), rp * si2_n], axis=-1
+        ))
 
     if problem.prior_Lambda is not None:
         O = problem.prior_q.shape[0]
         Hp_add, (Cp, cpi, cpj), bp_add = _prior_terms(problem, state)
-        extra_Hpp = extra_Hpp.at[:O].add(Hp_add)
-        extra_bp = extra_bp.at[:O].add(bp_add)
-        C_bank = jnp.concatenate([C_bank, Cp])
+        extra_Hpp = extra_Hpp.at[:O].add(wide(Hp_add))
+        extra_bp = extra_bp.at[:O].add(wide(bp_add))
+        C_bank = jnp.concatenate([C_bank, wide(Cp)])
         ci_bank = jnp.concatenate([ci_bank, cpi])
         cj_bank = jnp.concatenate([cj_bank, cpj])
 
@@ -408,19 +440,23 @@ def _linearize_vio(problem: VIOProblem, state: VIOState, lam,
         extra_Hpp=extra_Hpp, extra_bp=extra_bp,
         couplings=(C_bank, ci_bank, cj_bank),
         ell=problem.ell, pose_dim=D, axis_name=axis_name,
+        sum_dtype=sdt,
     )
 
 
 @f32_matmuls
 def vio_reduced_hessian(problem: VIOProblem, state: VIOState,
-                        huber_delta: float | None = None):
+                        huber_delta: float | None = None,
+                        hessian_dtype: str | None = None):
     """Dense landmark-eliminated (reduced) Hessian + gradient-side rhs of
     the full VIO graph at ``state``, undamped: ``(H (N*D, N*D), b (N*D,))``
     with ``b = -grad``. This is the window-marginalization primitive
     (pipelines.windowed_vio): marginalizing states out of H/b yields the
     Schur-complement prior the next window carries. jit-able; no gauge
-    projection is applied (callers anchor via the prior chain)."""
-    blocks = _linearize_vio(problem, state, 0.0, huber_delta, None)
+    projection is applied (callers anchor via the prior chain).
+    ``hessian_dtype``: widen the stiff pose-block sums (see VIOConfig)."""
+    blocks = _linearize_vio(problem, state, 0.0, huber_delta, None,
+                            hessian_dtype)
     S = schur.dense_reduced_system(blocks)
     b = schur.schur_rhs(blocks)
     N = b.shape[0]
@@ -430,19 +466,23 @@ def vio_reduced_hessian(problem: VIOProblem, state: VIOState,
 @f32_matmuls
 def vio_marginalize_device(problem: VIOProblem, state: VIOState,
                            keep_dim: int,
-                           huber_delta: float | None = None):
+                           huber_delta: float | None = None,
+                           hessian_dtype: str | None = None):
     """Schur-complement marginalization computed ON DEVICE: the reduced
     Hessian never leaves the chip — only the (keep_dim, keep_dim) prior
     and its rhs do. Through a remote TPU runtime this is the difference
     between pulling ~13 MB and ~100 KB per window (measured: host-side
     marginalization dominated the MH_01-scale wall clock).
 
-    f32 equilibrated Cholesky; callers needing f64 cancellation headroom
-    (un-capped stiff chains) should keep the host path
-    (optim.marginalization.schur_marginalize on vio_reduced_hessian).
-    Returns ``(Lambda, b_m)`` — apply the host-side PSD projection before
-    use (windowed_vio does)."""
-    blocks = _linearize_vio(problem, state, 0.0, huber_delta, None)
+    Equilibrated Cholesky in the (possibly widened) Hessian dtype:
+    ``hessian_dtype="float64"`` gives stiff chains the f64 cancellation
+    headroom ON DEVICE (the round-4 guidance to keep the host-f64 path
+    there no longer applies). Returns ``(Lambda, b_m)`` — apply the
+    host-side PSD projection before use (windowed_vio does; it also
+    checks finiteness and falls back to the host-f64 complement if the
+    factorization NaN'd)."""
+    blocks = _linearize_vio(problem, state, 0.0, huber_delta, None,
+                            hessian_dtype)
     S = schur.dense_reduced_system(blocks)
     b = schur.schur_rhs(blocks)
     N = b.shape[0]
@@ -453,19 +493,16 @@ def vio_marginalize_device(problem: VIOProblem, state: VIOState,
     Hoo = H[:cut, :cut]
     dg = jnp.diagonal(Hoo)
     # per-coordinate Marquardt-scaled ridge + Jacobi equilibration (same
-    # rationale as dense_schur_solve / schur_marginalize)
-    Hoo = Hoo + jnp.diag(1e-7 * jnp.maximum(dg, 1.0))
+    # rationale as dense_schur_solve / schur_marginalize); the widened
+    # (f64) path factorizes in f32 + refines with f64 residuals
+    # (schur.chol_solve_mixed) — f64 Cholesky is 21x slower on TPU
+    ridge = 1e-10 if H.dtype == jnp.float64 else 1e-7
+    Hoo = Hoo + jnp.diag(ridge * jnp.maximum(dg, 1.0))
     d = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(Hoo), 1e-12))
     Hoo_e = d[:, None] * Hoo * d[None, :]
     rhs = jnp.concatenate([H[:cut, cut:], bf[:cut, None]], axis=1)
     rhs_e = d[:, None] * rhs
-    L = jnp.linalg.cholesky(Hoo_e)
-    y = jax.lax.linalg.triangular_solve(
-        L, rhs_e, left_side=True, lower=True
-    )
-    sol_e = jax.lax.linalg.triangular_solve(
-        L, y, left_side=True, lower=True, transpose_a=True
-    )
+    sol_e = schur.chol_solve_mixed(Hoo_e, rhs_e)
     sol = d[:, None] * sol_e
     Lam = H[cut:, cut:] - H[:cut, cut:].T @ sol[:, :keep_dim]
     b_m = bf[cut:] - H[:cut, cut:].T @ sol[:, -1]
@@ -477,20 +514,25 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
     state, lam, cost = carry
     N = problem.free_pose.shape[0]
     M = state.lm.shape[0]
-    blocks = _linearize_vio(problem, state, lam, cfg.huber_delta, axis_name)
-    rhs = schur.schur_rhs(blocks)
     from libwave_tpu.optim.ba import _use_dense_schur
 
-    if _use_dense_schur(
-        cfg, N, D, 6, M, jnp.dtype(rhs.dtype).itemsize, axis_name
-    ):
-        dx = schur.dense_schur_solve(blocks, rhs)
+    # static solver choice first: the widened-Hessian path (stiff chains)
+    # only pays off under the dense factorization, so PCG keeps pure f32.
+    # The G-bytes gate uses the f32 itemsize — G stays f32 either way.
+    use_dense = _use_dense_schur(cfg, N, D, 6, M, 4, axis_name)
+    hdt = cfg.hessian_dtype if use_dense else None
+    blocks = _linearize_vio(
+        problem, state, lam, cfg.huber_delta, axis_name, hdt
+    )
+    rhs = schur.schur_rhs(blocks)
+    if use_dense:
+        dx = schur.dense_schur_solve(blocks, rhs).astype(state.p.dtype)
         cg_iterations = jnp.asarray(0, jnp.int32)
     else:
         cg = schur.pcg(
             blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol
         )
-        dx = cg.x
+        dx = cg.x.astype(state.p.dtype)
         cg_iterations = cg.iterations
     dlm = schur.back_substitute(blocks, dx)
 

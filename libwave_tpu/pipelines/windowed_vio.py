@@ -140,16 +140,48 @@ class WindowedVIOParams:
     # solve — the windows' tighter relinearization beats one global
     # linearization ladder. Well-conditioned sequences converge in 1.
     passes: int = 1
+    # Precision of the window solves' pose-block Hessian sums + reduced
+    # factorization (VIOConfig.hessian_dtype). "auto" (default) widens to
+    # f64 when the IMU whitening is stiff (max |imu_sqrt_info| > 3e4 —
+    # e.g. 20 Hz keyframes, where f32 summation annihilates the vision
+    # information and windows silently diverge); None forces pure f32;
+    # "float64" forces the widened path. The widening also applies to the
+    # carried marginal prior so its weak directions survive the chain.
+    hessian_dtype: str | None = "auto"
+    # Window-padding bucketing for heterogeneous sequences: every window
+    # pads to common (landmark-count, obs-per-pose, shift-pass) dims so
+    # solves share executables; with a single global bucket one dense
+    # window inflates EVERY window's solve. pad_percentile < 100 builds
+    # TWO buckets — a "typical" bucket sized at this percentile of the
+    # per-window dims and an overflow bucket at the global max — costing
+    # one extra jit compile while typical windows solve at their own
+    # scale. 100 (default) keeps the single global bucket.
+    pad_percentile: float = 100.0
 
     def validate(self):
         if self.overlap < 1 or self.overlap >= self.window:
             raise ValueError("need 1 <= overlap < window")
+        if self.mode == "marginalize" and self.overlap > self.window // 2:
+            # each frame must live in at most 2 consecutive windows: the
+            # boundary-observation exclusion bookkeeping (excl_pairs) only
+            # carries one window back, so overlap > window/2 would let a
+            # half-weighted marginalized observation re-enter a third
+            # window at full weight (double-counted information)
+            raise ValueError(
+                "marginalize mode needs overlap <= window // 2 (frames "
+                "must span at most 2 windows for exact information "
+                "accounting)"
+            )
         if self.mode not in ("marginalize", "freeze"):
             raise ValueError("mode must be marginalize | freeze")
         if self.boundary_obs not in ("split", "exclusive", "duplicate"):
             raise ValueError(
                 "boundary_obs must be split | exclusive | duplicate"
             )
+        if self.hessian_dtype not in (None, "auto", "float64"):
+            raise ValueError("hessian_dtype must be None | auto | float64")
+        if not 1.0 <= self.pad_percentile <= 100.0:
+            raise ValueError("pad_percentile must be in (1, 100]")
 
 
 def _quat_to_rot_np(q):
@@ -338,23 +370,61 @@ def run_euroc_vio_windowed(
             tracks, min(W, N - s), params.min_track_length, frame_offset=s,
             return_raw=True,
         ))
-    M_pad = max(max((b[3] for b in banks), default=1), 1)
-    pmax_g = 1
-    for pose_idx, *_ in banks:
-        if len(pose_idx):
-            pmax_g = max(pmax_g, int(np.bincount(pose_idx).max()))
-    # common shift-pass count: layout depends only on (pose_idx, lm_idx)
-    s_max = 1
-    for pose_idx, lm_idx, *_ in banks:
-        _, _, _, ell_probe = schur.pack_observations(
-            pose_idx, lm_idx, W, M_pad, min_pmax=pmax_g
+    Ms = [max(b[3], 1) for b in banks]
+    pmaxs = [
+        max(int(np.bincount(b[0]).max()), 1) if len(b[0]) else 1
+        for b in banks
+    ]
+    M_pad = max(Ms)
+    pmax_g = max(pmaxs)
+    # Bucketed padding (pad_percentile < 100): typical windows solve at a
+    # percentile-sized bucket; only outlier-dense windows pay the global
+    # max (their own executable). One extra compile, no accuracy change —
+    # padding rows are zero-weight either way.
+    if wparams.pad_percentile < 100.0 and len(banks) >= 2:
+        M_small = int(np.ceil(np.percentile(Ms, wparams.pad_percentile)))
+        pmax_small = int(
+            np.ceil(np.percentile(pmaxs, wparams.pad_percentile))
         )
-        s_max = max(s_max, ell_probe.shift_masks.shape[0])
+        win_dims = [
+            (M_small, pmax_small)
+            if Ms[i] <= M_small and pmaxs[i] <= pmax_small
+            else (M_pad, pmax_g)
+            for i in range(len(banks))
+        ]
+    else:
+        win_dims = [(M_pad, pmax_g)] * len(banks)
+    # common shift-pass count PER BUCKET: layout depends only on
+    # (pose_idx, lm_idx) and the bucket's pmax
+    s_max_by_bucket = {}
+    for (pose_idx, lm_idx, *_), dims in zip(banks, win_dims):
+        _, _, _, ell_probe = schur.pack_observations(
+            pose_idx, lm_idx, W, dims[0], min_pmax=dims[1]
+        )
+        s_max_by_bucket[dims] = max(
+            s_max_by_bucket.get(dims, 1), ell_probe.shift_masks.shape[0]
+        )
+
+    # stiffness-gated Hessian widening (see WindowedVIOParams): at 20 Hz
+    # keyframe rates the per-interval whitening reaches ~2.6e4 (Hessian
+    # entries ~7e8) and f32 summation annihilates the ~1e2 vision
+    # information — the widened path restores CPU-f64 parity at true
+    # noise densities (no "information capping" needed).
+    hdt = wparams.hessian_dtype
+    if hdt == "auto":
+        # measured whitening maxima on the ASL sim: 5 Hz keyframes 1.9e4
+        # (f32 chain verified accurate in r4: 651-kf ATE 0.0228), 10 Hz
+        # 5.5e4, 20 Hz 1.5e5 (f32 silently diverges) — gate between them
+        stiff = float(np.max(np.abs(np.asarray(sqrt_infos[: max(N - 1, 1)]))))
+        hdt = "float64" if stiff > 3e4 else None
+    pdt = jnp.float64 if hdt == "float64" else None
 
     if cfg is None:
         from libwave_tpu.pipelines.euroc_vio import default_vio_config
 
         cfg = default_vio_config(params)
+    if hdt is not None and cfg.hessian_dtype is None:
+        cfg = dataclasses.replace(cfg, hessian_dtype=hdt)
     solve = jax.jit(lambda pr, st: solve_vio(pr, st, cfg))
 
     P = O * D
@@ -372,15 +442,25 @@ def run_euroc_vio_windowed(
 
             red_hess = jax.jit(
                 lambda pr, st: vio_marginalize_device(
-                    pr, st, P, params.huber_delta
+                    pr, st, P, params.huber_delta, cfg.hessian_dtype
                 )
             )
         else:
             red_hess = jax.jit(
                 lambda pr, st: vio_reduced_hessian(
-                    pr, st, params.huber_delta
+                    pr, st, params.huber_delta, cfg.hessian_dtype
                 )
             )
+        red_hess_host = None  # lazy host-f64 fallback (device NaN guard)
+        # Per-keyframe bias-prior mask for the MARGINALIZATION problem:
+        # only out-frames' zero-mean bias priors enter the carried prior.
+        # Keep/overlap frames continue into the next window, where their
+        # bias prior is applied directly — including them here too would
+        # double-count that information across the chain (every factor
+        # counted exactly once; advisor r4 finding).
+        bias_out_mask = np.zeros((W, 1))
+        bias_out_mask[: W - O] = 1.0
+        bias_out_mask_j = jnp.asarray(bias_out_mask)
         # factors entering the marginalization: IMU/bias intervals up to
         # the overlap boundary only (the overlap's own intervals belong to
         # the next window)
@@ -477,6 +557,8 @@ def run_euroc_vio_windowed(
         if wi < windows_done:
             continue  # already solved (checkpoint resume)
         pose_idx, lm_idx, uv, M, raw_ids = banks[wi]
+        M_pad_w, pmax_w = win_dims[wi]
+        s_max_w = s_max_by_bucket[win_dims[wi]]
         nreal = min(W, N - s)  # real (non-dummy) frames this window
         head = max(min(solved_upto - s, W), 1)
 
@@ -535,7 +617,7 @@ def run_euroc_vio_windowed(
             lm_init = np.zeros((0, 3))
             weight = np.zeros(0)
 
-        lm0 = np.zeros((M_pad, 3))
+        lm0 = np.zeros((M_pad_w, 3))
         lm0[:M] = lm_init
 
         # full-track marginalization split (see _marg_obs_split)
@@ -546,17 +628,17 @@ def run_euroc_vio_windowed(
             )
             (pose_ell, lm_ell, pad_mask, ell, uv_p, w_p,
              wm_p) = schur.pack_observations(
-                pose_idx, lm_idx, W, M_pad, uv, weight, w_marg,
-                min_pmax=pmax_g,
+                pose_idx, lm_idx, W, M_pad_w, uv, weight, w_marg,
+                min_pmax=pmax_w,
             )
         else:
             pose_ell, lm_ell, pad_mask, ell, uv_p, w_p = (
                 schur.pack_observations(
-                    pose_idx, lm_idx, W, M_pad, uv, weight,
-                    min_pmax=pmax_g,
+                    pose_idx, lm_idx, W, M_pad_w, uv, weight,
+                    min_pmax=pmax_w,
                 )
             )
-        ell = _pad_shift_masks(ell, s_max)
+        ell = _pad_shift_masks(ell, s_max_w)
 
         free = np.ones((W, D))
         if marg:
@@ -583,8 +665,10 @@ def run_euroc_vio_windowed(
             free_pose=jnp.asarray(free),
             q_BC=jnp.asarray(qbc),
             pixel_sigma=params.pixel_sigma,
-            prior_Lambda=jnp.asarray(prior_Lambda) if marg else None,
-            prior_b=jnp.asarray(prior_b) if marg else None,
+            prior_Lambda=(
+                jnp.asarray(prior_Lambda, dtype=pdt) if marg else None
+            ),
+            prior_b=jnp.asarray(prior_b, dtype=pdt) if marg else None,
             prior_q=jnp.asarray(q0[:O]) if marg else None,
             prior_p=jnp.asarray(p0[:O]) if marg else None,
             prior_v=jnp.asarray(v0[:O]) if marg else None,
@@ -625,12 +709,33 @@ def run_euroc_vio_windowed(
             marg_problem = problem._replace(
                 obs_weight=jnp.asarray(wm_p) * pad_mask,
                 imu_sqrt_info=problem.imu_sqrt_info * imu_marg_mask_j,
+                # bias priors of keep/overlap frames are excluded — they
+                # are counted in the window that marginalizes them out
+                bias_prior_sqrt_info=(
+                    problem.bias_prior_sqrt_info[None, :] * bias_out_mask_j
+                ),
             )
             if marg_dev:
                 Lam, b_m = red_hess(marg_problem, state)
-                prior_Lambda, prior_b = psd_project(
-                    np.asarray(Lam), np.asarray(b_m)
-                )
+                Lam, b_m = np.asarray(Lam), np.asarray(b_m)
+                if np.isfinite(Lam).all() and np.isfinite(b_m).all():
+                    prior_Lambda, prior_b = psd_project(Lam, b_m)
+                else:
+                    # device Cholesky NaN'd (indefinite Hoo from roundoff
+                    # on a stiff chain): fall back to the host-f64 exact
+                    # complement for this window instead of corrupting
+                    # the prior chain
+                    if red_hess_host is None:
+                        red_hess_host = jax.jit(
+                            lambda pr, st: vio_reduced_hessian(
+                                pr, st, params.huber_delta,
+                                cfg.hessian_dtype,
+                            )
+                        )
+                    H, b = red_hess_host(marg_problem, state)
+                    prior_Lambda, prior_b = schur_marginalize(
+                        np.asarray(H), np.asarray(b), keep_dim=P
+                    )
             else:
                 H, b = red_hess(marg_problem, state)
                 prior_Lambda, prior_b = schur_marginalize(
@@ -693,8 +798,11 @@ def run_euroc_vio_windowed(
         t_steady = t_solve
     # rate metrics count only keyframes advanced in THIS run (a checkpoint
     # resume must not divide previously-solved keyframes by this run's
-    # time; later smoothing passes re-count their re-solved keyframes)
+    # time; later smoothing passes re-count their re-solved keyframes in
+    # the WINDOW-MARCH rate, while the SEQUENCE rate divides re-solves
+    # back out — quote the sequence rate for end-to-end throughput)
     n_timed = kf_solved_run if window_times else 0
+    passes_run = max(n_passes - resumed_pass, 1)
     report = {
         "ate_rmse": float(ate),
         "rpe_trans_rmse": float(rpe_t),
@@ -713,11 +821,24 @@ def run_euroc_vio_windowed(
         "solve_seconds": t_solve,
         "marginalization_seconds": t_marg,
         # the first window's time includes the (single) jit compile; the
-        # steady-state rate replaces it with the median of the rest
+        # steady-state rate replaces it with the median of the rest.
+        # solve_keyframes_per_s is the WINDOW-MARCH rate: at passes > 1 its
+        # numerator counts keyframes once per pass that re-solves them.
         "solve_keyframes_per_s": n_timed / max(t_steady, 1e-9),
         "solve_keyframes_per_s_including_compile": n_timed / max(
             t_solve, 1e-9
         ),
+        # end-to-end rate: unique sequence keyframes / steady solve wall
+        # (re-solving passes divided out) — the honest headline number
+        "sequence_keyframes_per_s": (
+            n_timed / passes_run / max(t_steady, 1e-9)
+        ),
+        "hessian_dtype": cfg.hessian_dtype,
         "num_landmarks_padded": M_pad,
+        "pad_buckets": sorted(set(win_dims)),
+        "pad_bucket_windows": [
+            sum(1 for d in win_dims if d == b)
+            for b in sorted(set(win_dims))
+        ],
     }
     return est, report

@@ -197,41 +197,58 @@ def generate_euroc_sequence(root: str,
         for i in cam_idx:
             fh.write(f"{ts_ns[i]},{ts_ns[i]}.png\n")
 
-    rows = []
-    uv_frames = np.zeros((len(cam_idx), lm.shape[0], 2))
-    vis_frames = np.zeros((len(cam_idx), lm.shape[0]), bool)
-    for fi, i in enumerate(cam_idx):
-        q_GC = np.asarray(
-            so3.quat_multiply(jnp.asarray(q[i]), jnp.asarray(qbc))
-        )
-        R = np.asarray(so3.quat_to_rot(jnp.asarray(q_GC)))
-        d = lm - pos[i]
-        pc = d @ R  # R^T d
-        z = pc[:, 2]
-        uvh = pc @ Kmat.T
-        uv = uvh[:, :2] / np.where(np.abs(z) < 1e-9, 1e-9, z)[:, None]
-        vis = (
-            (z > 0.5) & (z < 25.0)
-            & (uv[:, 0] >= 0) & (uv[:, 0] < p.width)
-            & (uv[:, 1] >= 0) & (uv[:, 1] < p.height_px)
-        )
-        uv_frames[fi] = uv
-        vis_frames[fi] = vis
-        ids = np.nonzero(vis)[0]
+    # Project every frame in ONE batched call: the original per-frame loop
+    # paid 2 device dispatches per frame, which through the remote TPU
+    # tunnel (~30-70 ms each) made a 3,641-frame sequence take ~520 s to
+    # *generate* (the round-4 bench's single largest time sink).
+    q_GC_all = np.asarray(
+        so3.quat_multiply(jnp.asarray(q[cam_idx]),
+                          jnp.broadcast_to(jnp.asarray(qbc), (len(cam_idx), 4)))
+    )
+    R_all = np.asarray(so3.quat_to_rot(jnp.asarray(q_GC_all)))  # (F, 3, 3)
+    d_all = lm[None, :, :] - pos[cam_idx, None, :]  # (F, M, 3)
+    pc_all = np.einsum("fmj,fjk->fmk", d_all, R_all)  # R^T d per frame
+    z_all = pc_all[..., 2]
+    uvh_all = np.einsum("fmj,kj->fmk", pc_all, Kmat)
+    uv_frames = uvh_all[..., :2] / np.where(
+        np.abs(z_all) < 1e-9, 1e-9, z_all
+    )[..., None]
+    vis_frames = (
+        (z_all > 0.5) & (z_all < 25.0)
+        & (uv_frames[..., 0] >= 0) & (uv_frames[..., 0] < p.width)
+        & (uv_frames[..., 1] >= 0) & (uv_frames[..., 1] < p.height_px)
+    )
+
+    # per-frame dropout/outlier injection consumes the rng in the same
+    # frame order as before (sizes differ from the pre-vectorization
+    # draws only through identical visibility, so sequences regenerate
+    # deterministically for a given seed)
+    frame_col, id_col, u_col, v_col = [], [], [], []
+    for fi in range(len(cam_idx)):
+        ids = np.nonzero(vis_frames[fi])[0]
         keep = rng.random(ids.size) >= p.dropout_fraction
         ids = ids[keep]
-        puv = uv[ids] + p.pixel_noise * rng.standard_normal((ids.size, 2))
+        puv = uv_frames[fi, ids] \
+            + p.pixel_noise * rng.standard_normal((ids.size, 2))
         out = rng.random(ids.size) < p.outlier_fraction
         n_out = int(out.sum())
         puv[out, 0] = rng.uniform(0, p.width, n_out)
         puv[out, 1] = rng.uniform(0, p.height_px, n_out)
-        for j, (u, v) in zip(ids, puv):
-            rows.append((fi, int(j), float(u), float(v)))
+        frame_col.append(np.full(ids.size, fi, np.int64))
+        id_col.append(ids)
+        u_col.append(puv[:, 0])
+        v_col.append(puv[:, 1])
 
+    fcol = np.concatenate(frame_col) if frame_col else np.zeros(0, np.int64)
+    jcol = np.concatenate(id_col) if id_col else np.zeros(0, np.int64)
+    ucol = np.concatenate(u_col) if u_col else np.zeros(0)
+    vcol = np.concatenate(v_col) if v_col else np.zeros(0)
     with open(os.path.join(cam_dir, "tracks.csv"), "w") as fh:
         fh.write("#frame,landmark_id,u [px],v [px]\n")
-        for fi, j, u, v in rows:
-            fh.write(f"{fi},{j},{u:.4f},{v:.4f}\n")
+        fh.writelines(
+            f"{fi},{j},{u:.4f},{v:.4f}\n"
+            for fi, j, u, v in zip(fcol, jcol, ucol, vcol)
+        )
 
     if p.render_images:
         from PIL import Image

@@ -28,3 +28,23 @@ def f32_matmuls(fn):
             return fn(*args, **kwargs)
 
     return wrapped
+
+
+def allow_explicit_f64():
+    """Permit *explicitly requested* float64 arrays without enabling x64.
+
+    ``jax_explicit_x64_dtypes="allow"`` (jax >= 0.9) honors
+    ``dtype=jnp.float64`` requests while leaving every implicit conversion
+    and literal at f32 — measured here: ``jnp.asarray(np_f64)`` still gives
+    f32, ``jnp.asarray(1.0)`` stays f32, and f32 x f64 ops promote to f64.
+    This is the enabler for the mixed-precision stiff-Hessian path
+    (optim.schur ``sum_dtype``): f32 linearization, f64 summation +
+    factorization — without the global dtype-semantics change of
+    ``jax_enable_x64``. No-op (returns False) when the flag doesn't exist;
+    callers then need x64 enabled for the f64 path.
+    """
+    try:
+        jax.config.update("jax_explicit_x64_dtypes", "allow")
+        return True
+    except Exception:
+        return False

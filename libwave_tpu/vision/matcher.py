@@ -271,12 +271,17 @@ def match_descriptors(
             lsh_match,
         )
 
-        fp = params.flann if params.flann is not None else FLANNParams()
-        fp = dataclasses.replace(
-            fp, ratio_threshold=params.ratio_threshold
-        )
+        if params.flann is not None:
+            # a user-supplied FLANNParams is authoritative — including its
+            # ratio_threshold (don't silently clobber it with the
+            # matcher-level default)
+            fp = params.flann
+        else:
+            fp = dataclasses.replace(
+                FLANNParams(), ratio_threshold=params.ratio_threshold
+            )
         index = build_lsh_index(desc2, mask2, fp)
-        idx2, valid, _ = lsh_match(desc1, mask1, index, fp)
+        idx2, valid, lsh_diag = lsh_match(desc1, mask1, index, fp)
     elif params.use_knn and fused:
         from libwave_tpu.ops.hamming import hamming_top2
 
@@ -313,4 +318,7 @@ def match_descriptors(
         "num_filtered_matches": num_filtered,
         "num_good_matches": jnp.sum(valid),
     }
+    if params.method == "lsh":
+        # candidate-budget evidence (sub-linear generation) rides along
+        diagnostics["num_candidates"] = lsh_diag["num_candidates"]
     return idx2, valid, diagnostics

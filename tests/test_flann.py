@@ -130,3 +130,57 @@ class TestMatcherLSHWiring:
 
         with _pytest.raises(ConfigError):
             MatcherParams(method="kdtree").validate()
+
+
+@pytest.mark.slow
+class TestGlobalRelocalization65k:
+    """LSH in the regime it exists for: a loop-closure-style global
+    relocalization query against a 65k-descriptor accumulated map — the
+    bank size where the exact path is infeasible (the full Hamming matrix
+    is 17 GB and the fused kernel fails remote-compile at 65k x 65k).
+    End-to-end through the shared matcher pipeline
+    (MatcherParams.method="lsh"), recall scored against the exact
+    brute-force oracle computed host-side (np.bitwise_count)."""
+
+    def test_relocalize_frame_against_65k_map(self, rng):
+        from libwave_tpu.vision import MatcherParams, match_descriptors
+
+        N2, N1, W = 65536, 512, 16
+        d2 = rng.integers(0, 2**32, (N2, W), dtype=np.uint32)
+        src = rng.choice(N2, N1, replace=False)
+        d1 = d2[src].copy()
+        flips = rng.integers(0, W * 32, (N1, 20))
+        for i in range(N1):
+            for b in flips[i]:
+                d1[i, b // 32] ^= np.uint32(1) << np.uint32(b % 32)
+        xy1 = rng.uniform(0, 752, (N1, 2))
+        xy2 = rng.uniform(0, 752, (N2, 2))
+        m1 = jnp.ones(N1, bool)
+        m2 = jnp.ones(N2, bool)
+
+        idx2, valid, diag = match_descriptors(
+            jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(xy1),
+            jnp.asarray(xy2), m1, m2, jax.random.key(7),
+            MatcherParams(method="lsh", auto_remove_outliers=False),
+        )
+        idx2, valid = np.asarray(idx2), np.asarray(valid)
+
+        # exact oracle: host-side brute force over the full bank
+        exact = np.empty(N1, np.int64)
+        for i0 in range(0, N1, 64):
+            blk = d1[i0:i0 + 64]
+            dist = np.bitwise_count(
+                blk[:, None, :] ^ d2[None, :, :]
+            ).sum(axis=-1)
+            exact[i0:i0 + 64] = dist.argmin(axis=1)
+        assert (exact == src).all()  # the plant survives brute force
+
+        # planted recall through the END-TO-END matcher path
+        recall = ((idx2 == src) & valid).mean()
+        assert recall > 0.9, recall
+        # and the accepted matches agree with the exact oracle
+        agree = (idx2[valid] == exact[valid]).mean()
+        assert agree > 0.97, agree
+        # sub-linear candidate generation is the whole point
+        mean_cand = float(np.asarray(diag["num_candidates"]).mean())
+        assert mean_cand < 0.01 * N2, mean_cand

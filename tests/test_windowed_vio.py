@@ -208,3 +208,44 @@ def test_marg_device_path_parity(mid_root):
         rtol=0,
     )
     assert abs(rep_d["ate_rmse"] - rep_h["ate_rmse"]) < 1e-3
+
+
+@pytest.mark.slow
+def test_pad_bucketing_dense_window(mid_root):
+    """One deliberately dense window must not inflate every window's
+    padded solve: pad_percentile < 100 builds a typical-size bucket plus
+    an overflow bucket, with accuracy unchanged (padding rows are
+    zero-weight either way)."""
+    from libwave_tpu.datasets.euroc import load_euroc_tracks
+
+    tracks = np.asarray(load_euroc_tracks(mid_root))
+    # densify frames [125, 145): duplicate their observations 3x under
+    # fresh landmark ids (consistent projections -> they triangulate and
+    # participate normally; only that window's bank grows)
+    sel = (tracks[:, 0] >= 125) & (tracks[:, 0] < 145)
+    dups = []
+    for c in range(3):
+        d = tracks[sel].copy()
+        d[:, 1] += 100000 * (c + 1)
+        dups.append(d)
+    tracks2 = np.concatenate([tracks] + dups)
+
+    wp = dict(window=60, overlap=10, mode="marginalize")
+    _, base = run_euroc_vio_windowed(
+        mid_root, EurocVIOParams(), WindowedVIOParams(**wp),
+        tracks=tracks2,
+    )
+    _, buck = run_euroc_vio_windowed(
+        mid_root, EurocVIOParams(),
+        WindowedVIOParams(**wp, pad_percentile=70.0),
+        tracks=tracks2,
+    )
+    assert len(base["pad_buckets"]) == 1
+    assert len(buck["pad_buckets"]) == 2
+    small, big = buck["pad_buckets"]
+    assert small[0] < big[0]  # typical bucket strictly smaller
+    assert buck["pad_bucket_windows"][0] >= 2  # most windows stay typical
+    # identical factor content -> matching accuracy
+    assert abs(buck["ate_rmse"] - base["ate_rmse"]) < 5e-3, (
+        buck["ate_rmse"], base["ate_rmse"],
+    )
