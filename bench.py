@@ -90,7 +90,12 @@ def make_problem(num_poses=200, num_landmarks=10_000, obs_per_pose=300,
     from libwave_tpu.optim import BAProblem, BAState
 
     rng = np.random.default_rng(seed)
-    # landmarks in a ring around a circular trajectory
+    # landmarks in a ring around a circular trajectory; ids ordered by
+    # bearing — the id order a real mapper produces (landmarks created in
+    # trajectory order), which gives the pose/landmark incidence the
+    # locality every SLAM map has. The explicit-S kernel's empty-tile
+    # skip (ops.segmm) exploits it; random ids would be an unrealistic
+    # worst case.
     lm = np.stack(
         [
             rng.uniform(-50, 50, num_landmarks),
@@ -99,6 +104,7 @@ def make_problem(num_poses=200, num_landmarks=10_000, obs_per_pose=300,
         ],
         axis=-1,
     ).astype(np.float64)
+    lm = lm[np.argsort(np.arctan2(lm[:, 1], lm[:, 0]), kind="stable")]
     theta = np.linspace(0, 2 * np.pi, num_poses, endpoint=False)
     p = np.stack(
         [10 * np.cos(theta), 10 * np.sin(theta), np.zeros_like(theta)],

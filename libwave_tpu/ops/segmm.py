@@ -183,28 +183,67 @@ _SYM3_AT = {
     (2, 0): 2, (2, 1): 4, (2, 2): 5,
 }
 
-_GTM = 512  # landmark columns per program
+_GTM = 1024  # landmark columns per program
+_GPB = 8  # poses per program
 
 
-def _g_a_kernel(idx_ref, w_ref, h_ref, g_ref, a_ref, *, tm, dj):
+def _g_a_kernel(idx_ref, w_ref, h_ref, g_ref, a_ref, *, tm, dj, pb):
+    # Grid (NB, num_m), m innermost: the pose batch's W/idx blocks stay
+    # resident while landmark tiles stream. Per pose: the one-hot tile is
+    # built in VMEM and applied as one (C, Pmax) @ (Pmax, TM) MXU dot.
+    # Poses whose slots touch no landmark in this tile skip the dot
+    # entirely (data-dependent pl.when on a scalar reduce) — at map scale
+    # the pose/landmark incidence is sparse and most (pose, tile) pairs
+    # are empty, so the skip converts the kernel's K*M dense work back
+    # into ~K*band work without any host-side tile bookkeeping.
     m = pl.program_id(1)
-    idxm = idx_ref[0]  # (1, Pmax)
-    w = w_ref[0]  # (C = dj*3, Pmax)
-    cols = tm * m + jax.lax.broadcasted_iota(
-        jnp.int32, (idxm.shape[1], tm), 1
-    )
-    mask = (idxm.T == cols).astype(w.dtype)  # (Pmax, TM)
-    g = jnp.dot(w, mask, preferred_element_type=jnp.float32)  # (C, TM)
-    g_ref[0] = g
-    # A[dj, l] = sum_j g[dj, j] * Hinv[j, l] per landmark column
+    base = tm * m
     h = h_ref[...]  # (6, TM) symmetric components
-    rows = []
-    for d in range(dj):
-        for l in range(3):
-            rows.append(
-                sum(g[d * 3 + j] * h[_SYM3_AT[(j, l)]] for j in range(3))
+    for p in range(pb):
+        idx = idx_ref[0, p]  # (Pmaxp,)
+        hit = jnp.any((idx >= base) & (idx < base + tm))
+
+        @pl.when(hit)
+        def _(p=p, idx=idx):
+            w = w_ref[0, p]  # (C = dj*3, Pmaxp)
+            cols = base + jax.lax.broadcasted_iota(
+                jnp.int32, (idx.shape[0], tm), 1
             )
-    a_ref[0] = jnp.stack(rows)
+            mask = (idx[:, None] == cols).astype(w.dtype)  # (Pmax, TM)
+            # Precision keyed off the operand dtype, NOT the caller's
+            # context: f32 operands need the full fp32 contract (a bf16
+            # one-pass here rounds every G entry by ~4e-3, which the
+            # downstream Hpp - S_sub cancellation amplifies into broken
+            # LM steps — measured); bf16 storage mode wants plain bf16
+            # MACs (the callers' f32_matmuls "highest" context would
+            # request an fp32 contract on bf16 operands, which Mosaic
+            # rejects). f32 accumulation in both cases.
+            prec = (
+                jax.lax.Precision.DEFAULT
+                if w.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST
+            )
+            g = jnp.dot(
+                w, mask, preferred_element_type=jnp.float32, precision=prec
+            )
+            g_ref[0, p] = g.astype(g_ref.dtype)
+            # A[dj, l] = sum_j g[dj, j] * Hinv[j, l] per landmark column
+            hf = h.astype(jnp.float32)
+            rows = []
+            for d in range(dj):
+                for l in range(3):
+                    rows.append(
+                        sum(
+                            g[d * 3 + j] * hf[_SYM3_AT[(j, l)]]
+                            for j in range(3)
+                        )
+                    )
+            a_ref[0, p] = jnp.stack(rows).astype(a_ref.dtype)
+
+        @pl.when(jnp.logical_not(hit))
+        def _(p=p):
+            g_ref[0, p] = jnp.zeros_like(g_ref[0, p])
+            a_ref[0, p] = jnp.zeros_like(a_ref[0, p])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -212,30 +251,41 @@ def _dense_g_a(W, lm_slot, hinv, interpret):
     C, N, Pmax = W.shape
     dj = C // 3
     M = hinv.shape[1]
+    pb = _GPB
+    NB = -(-N // pb)
     Wp = jnp.moveaxis(_pad_axis(W, 128, 2), 1, 0)  # (N, C, Pmaxp)
-    ix = _pad_axis(lm_slot.astype(jnp.int32), 128, 1)[:, None, :]
-    # padded slots keep id 0 but W there is zero, so they contribute zeros
+    Wp = _pad_axis(Wp, pb * NB, 0).reshape(NB, pb, C, -1)
+    # pose-padding rows get id -1 (never hits a tile -> skipped + zeroed);
+    # slot padding keeps id 0 but W there is zero, so it contributes zeros
+    ix = _pad_axis(lm_slot.astype(jnp.int32), 128, 1)
+    if NB * pb != N:
+        ix = jnp.concatenate(
+            [ix, jnp.full((NB * pb - N, ix.shape[1]), -1, jnp.int32)]
+        )
+    ix = ix.reshape(NB, pb, -1)
     hp = _pad_axis(hinv.astype(W.dtype), _GTM, 1)
     Mp = hp.shape[1]
-    grid = (N, Mp // _GTM)
+    grid = (NB, Mp // _GTM)
     g, a = pl.pallas_call(
-        functools.partial(_g_a_kernel, tm=_GTM, dj=dj),
+        functools.partial(_g_a_kernel, tm=_GTM, dj=dj, pb=pb),
         out_shape=[
-            jax.ShapeDtypeStruct((N, C, Mp), W.dtype) for _ in range(2)
+            jax.ShapeDtypeStruct((NB, pb, C, Mp), W.dtype) for _ in range(2)
         ],
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, Wp.shape[2]), lambda n, m: (n, 0, 0)),
-            pl.BlockSpec((1, C, Wp.shape[2]), lambda n, m: (n, 0, 0)),
+            pl.BlockSpec((1, pb, ix.shape[2]), lambda n, m: (n, 0, 0)),
+            pl.BlockSpec((1, pb, C, Wp.shape[3]), lambda n, m: (n, 0, 0, 0)),
             pl.BlockSpec((6, _GTM), lambda n, m: (0, m)),
         ],
         out_specs=[
-            pl.BlockSpec((1, C, _GTM), lambda n, m: (n, 0, m))
+            pl.BlockSpec((1, pb, C, _GTM), lambda n, m: (n, 0, 0, m))
             for _ in range(2)
         ],
         interpret=interpret,
     )(ix, Wp, hp)
-    return g[:, :, :M], a[:, :, :M]
+    g = g.reshape(NB * pb, C, Mp)
+    a = a.reshape(NB * pb, C, Mp)
+    return g[:N, :, :M], a[:N, :, :M]
 
 
 def dense_g_a_onehot(W: jnp.ndarray, lm_slot: jnp.ndarray,
@@ -243,6 +293,11 @@ def dense_g_a_onehot(W: jnp.ndarray, lm_slot: jnp.ndarray,
     """Fused dense-Schur G/A build: ``W`` (Dj*3, N, Pmax) pose-ELL blocks
     (component-major, padding slots zero), ``lm_slot`` (N, Pmax) landmark
     ids, ``hinv`` (6, M) inverted landmark blocks (symmetric components).
+
+    ``lm_slot`` entries outside ``[0, M)`` contribute zeros (and skip
+    compute) — chunked callers pass ``lm_slot - chunk_start`` with a
+    ``hinv`` column slice to build G/A one landmark range at a time
+    without ever materializing the full matrices.
 
     Returns ``(G, A)`` each (N, Dj*3, M) with rows ordered (dj, j) so that
     ``x.reshape(N, Dj, 3, M).reshape(N*Dj, 3*M)`` is the 2D operand of

@@ -119,6 +119,35 @@ class BAConfig:
     # block-Jacobi PCG propagate corrections only ~one keyframe per
     # iteration.
     solver: str = "pcg"
+    # Explicit-S PCG (the headline-path win): materialize the reduced
+    # camera matrix S once per LM iteration (fused one-hot MXU kernel,
+    # chunked over landmark ranges so G never exceeds dense_max_g_bytes)
+    # and run the SAME preconditioned CG against it — identical Krylov
+    # iterates and basin to matrix-free PCG, but each of the ~20 serial
+    # matvecs is one dense einsum instead of ~30 latency-bound
+    # gather/shift ops. "auto": use it whenever the solver is pcg,
+    # single-device, pose-ELL, on a TPU backend, and S fits
+    # explicit_max_s_bytes. "never"/"always" override (always = also
+    # off-TPU, for tests). Measured v5e 10k lm / 200 poses: 63 -> see
+    # bench (headline); the matrix-free path remains the sharded-mode
+    # and huge-N fallback.
+    explicit_s: str = "auto"
+    explicit_max_s_bytes: float = 4e8  # (N*D)^2 cap for materialized S
+    # "auto" also requires M <= this: the one-hot build + A@G^T work is
+    # linear in M while matrix-free PCG tracks the observation count, so
+    # explicit-S loses at map scale (measured v5e: 10k lm 82 vs 64
+    # iter/s in its favor, 100k lm 4.0 vs 8.0 against).
+    explicit_max_landmarks: int = 20_000
+    # Storage dtype for the explicit-S *operator* build (G/A one-hot +
+    # A@G^T), always with f32 MXU accumulation. "f32" (default): exact —
+    # the explicit path then reproduces the matrix-free LM trajectory to
+    # float tolerance. "bf16": ~1.8x faster S build, but MEASURED
+    # UNUSABLE for ill-conditioned BA even with the exact-f32 diagonal
+    # repair (dense_reduced_system op_dtype): the ~0.5% off-diagonal
+    # operator error degrades LM steps (headline problem: plateau 2.8e-2
+    # vs 1.2e-4 at 15 iterations). Kept as an opt-in for well-conditioned
+    # operators; never the default.
+    s_op_dtype: str = "f32"
     dense_max_pose_dim: int = 4096  # N*D cap for the dense path
     dense_max_g_bytes: float = 1.5e9  # cap on the (N*Dj, 3M) scatter
     # "auto" additionally requires M <= this before picking dense: the
@@ -136,6 +165,10 @@ class BAConfig:
             raise ValueError("max_iterations must be > 0")
         if self.solver not in ("auto", "pcg", "dense"):
             raise ValueError("solver must be auto | pcg | dense")
+        if self.explicit_s not in ("auto", "never", "always"):
+            raise ValueError("explicit_s must be auto | never | always")
+        if self.s_op_dtype not in ("f32", "bf16"):
+            raise ValueError("s_op_dtype must be f32 | bf16")
 
 
 def _use_dense_schur(cfg, N, D, Dj, M, itemsize, axis_name):
@@ -155,6 +188,26 @@ def _use_dense_schur(cfg, N, D, Dj, M, itemsize, axis_name):
             )
         return True
     return fits and M <= cfg.dense_max_landmarks
+
+
+def _use_explicit_s(cfg, N, D, M, itemsize, ell, axis_name):
+    """Static choice (trace-time) of the explicit-S PCG matvec: same
+    Krylov iterates as matrix-free, gated on structure (pose-ELL,
+    single-device, TPU kernel available), the S footprint, and the
+    landmark count (explicit work is linear in M)."""
+    if cfg.explicit_s == "never":
+        return False
+    if axis_name is not None or ell is None:
+        return False
+    if itemsize * (N * D) ** 2 > cfg.explicit_max_s_bytes:
+        return False
+    if cfg.explicit_s == "always":
+        return True
+    if M > cfg.explicit_max_landmarks:
+        return False
+    from libwave_tpu.ops.segmm import on_tpu_backend
+
+    return on_tpu_backend()
 
 
 # Penalty charged per cheirality-violated observation: without it, a step
@@ -379,8 +432,18 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _,
         dx_pose = schur.dense_schur_solve(blocks, rhs)
         cg_iterations = jnp.asarray(0, jnp.int32)
     else:
+        S4 = None
+        if _use_explicit_s(
+            cfg, N, 6, M, jnp.dtype(rhs.dtype).itemsize, problem.ell,
+            axis_name,
+        ):
+            op_dtype = jnp.bfloat16 if cfg.s_op_dtype == "bf16" else None
+            S4 = schur.dense_reduced_system(
+                blocks, max_g_bytes=cfg.dense_max_g_bytes,
+                op_dtype=op_dtype,
+            )
         cg = schur.pcg(
-            blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol
+            blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol, S4=S4
         )
         dx_pose = cg.x
         cg_iterations = cg.iterations

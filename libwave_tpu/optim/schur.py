@@ -628,10 +628,13 @@ def schur_rhs(blocks: SchurBlocks) -> jnp.ndarray:
     return _project(blocks.bp - _pad_cols(uy.T, D), blocks.free_pose)
 
 
-def schur_jacobi_preconditioner(blocks: SchurBlocks) -> jnp.ndarray:
-    """Inverted block diagonal of S (the SCHUR_JACOBI preconditioner):
-    P_i = (Hpp_i - sum_k W_k Hll_inv[lm_k] W_k^T)^{-1}, self-terms only."""
-    D = blocks.bp.shape[1]
+def _schur_self_blocks(blocks: SchurBlocks) -> jnp.ndarray:
+    """Exact per-pose self terms ``sum_k W_k Hll_inv[lm_k] W_k^T`` as
+    (N, Dj, Dj) blocks — one f32 VPU sweep over the observation bank.
+    Shared by the SCHUR_JACOBI preconditioner and the bf16 explicit-S
+    build (which overwrites its diagonal with these: the ``Hpp - sub``
+    diagonal cancellation amplifies bf16 storage error catastrophically,
+    while off-diagonal blocks subtract from ~zero and tolerate it)."""
     W = blocks.W
     Dj = W.shape[0] // 3
     hk = jnp.take(blocks.Hll_inv, blocks.lm_idx, axis=-1)  # (6, K)
@@ -652,9 +655,14 @@ def schur_jacobi_preconditioner(blocks: SchurBlocks) -> jnp.ndarray:
             for i, i2 in _tri_indices(Dj)
         ]
     )
-    sub = _embed_block(
-        _assemble_sym(_seg_pose(blocks, self_k), Dj), D
-    )  # (N, D, D)
+    return _assemble_sym(_seg_pose(blocks, self_k), Dj)  # (N, Dj, Dj)
+
+
+def schur_jacobi_preconditioner(blocks: SchurBlocks) -> jnp.ndarray:
+    """Inverted block diagonal of S (the SCHUR_JACOBI preconditioner):
+    P_i = (Hpp_i - sum_k W_k Hll_inv[lm_k] W_k^T)^{-1}, self-terms only."""
+    D = blocks.bp.shape[1]
+    sub = _embed_block(_schur_self_blocks(blocks), D)  # (N, D, D)
     S_diag = blocks.Hpp - sub
     # Gauge-fixed coordinates get identity rows/cols so CG stays
     # well-defined on their (projected-out) subspace.
@@ -684,17 +692,36 @@ def _sym3_full(s):
     return out  # (M, 3, 3)
 
 
-def dense_reduced_system(blocks: SchurBlocks) -> jnp.ndarray:
+def dense_reduced_system(blocks: SchurBlocks,
+                         max_g_bytes: float | None = None,
+                         op_dtype=None) -> jnp.ndarray:
     """Materialize the reduced camera matrix S = Hpp - U Hll^-1 U^T plus
     pose-pose couplings as one dense (N, D, N, D) tensor.
 
     U rides in a dense (N*Dj, 3M) scatter G; the subtraction is a single
     MXU matmul A @ G^T with A = G Hll^-1. No gauge projection is applied —
     :func:`dense_schur_solve` adds it for solving, while marginalization
-    callers (pipelines.windowed_vio/_ba) consume the raw system. Memory:
-    G is itemsize*N*Dj*3M bytes — the auto solver switch (optim.ba) gates
-    on it.
-    """
+    callers (pipelines.windowed_vio/_ba) consume the raw system.
+
+    Memory: G is itemsize*N*Dj*3M bytes. When ``max_g_bytes`` is set and
+    the full G would exceed it, the build runs CHUNKED over landmark
+    column ranges (kernel path only): per chunk the one-hot builder emits
+    G/A slices (ids outside the chunk skip compute and contribute zeros)
+    and ``S_sub += A_c @ G_c^T`` accumulates — S (quadratic in N*D only)
+    is the sole persistent buffer, so map-scale M never materializes a
+    multi-GB G. Without the cap the auto solver switch (optim.ba) gates
+    on the full-G footprint.
+
+    ``op_dtype`` (explicit-PCG operator mode, kernel path only): run the
+    G/A build and the A @ G^T contraction in this storage dtype
+    (bfloat16) with f32 MXU accumulation. ONLY valid when S is consumed
+    as a CG *operator* (optim.ba explicit_s): CG computes its residuals
+    against the same perturbed S̃, so it exactly solves (S+E) dx = b̃ — a
+    slightly-rotated Gauss-Newton step whose quality LM's cost-based
+    acceptance already polices, and whose fixed point (dx -> 0 as b̃ ->
+    0) is unchanged. rhs/back-substitution/cost all stay f32. NOT for
+    dense_schur_solve factorizations or marginalization, where S's
+    entries are the product."""
     if blocks.axis_name is not None:
         raise ValueError("dense_reduced_system is single-device only")
     D = blocks.bp.shape[1]
@@ -720,11 +747,67 @@ def dense_reduced_system(blocks: SchurBlocks) -> jnp.ndarray:
 
         Pmax = blocks.W.shape[2]
         lm_slot = blocks.lm_idx.reshape(N, Pmax)
-        g3, a3 = dense_g_a_onehot(blocks.W, lm_slot, blocks.Hll_inv)
-        # rows are (dj, j)-ordered: the 2D flatten is transpose-free and
-        # consistent between A and G, which is all S_sub needs
-        G = g3.reshape(N * Dj, 3 * M)
-        A = a3.reshape(N * Dj, 3 * M)
+        Wop = blocks.W if op_dtype is None else blocks.W.astype(op_dtype)
+        Hop = (
+            blocks.Hll_inv if op_dtype is None
+            else blocks.Hll_inv.astype(op_dtype)
+        )
+        # A @ G.T with f32 accumulation regardless of storage dtype. bf16
+        # operands need explicit DEFAULT precision (the f32_matmuls
+        # "highest" context would request an fp32 contract on them); f32
+        # operands pin HIGHEST explicitly so correctness never depends on
+        # the caller having entered f32_matmuls.
+        mm_prec = (
+            jax.lax.Precision.DEFAULT if op_dtype is not None
+            else jax.lax.Precision.HIGHEST
+        )
+        mm = lambda a, g: jax.lax.dot_general(
+            a, g, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mm_prec,
+        )
+        g_bytes = jnp.dtype(wdtype).itemsize * N * Dj * 3 * M
+        if max_g_bytes is not None and g_bytes > max_g_bytes:
+            # chunked: S_sub accumulates, G/A chunks are transient
+            chunks = int(-(-g_bytes // max_g_bytes))
+            CM = -(-M // chunks)
+            S_sub = jnp.zeros((N * Dj, N * Dj), jnp.float32)
+            for c in range(0, M, CM):
+                cm = min(CM, M - c)
+                g3, a3 = dense_g_a_onehot(
+                    Wop, lm_slot - c, Hop[:, c:c + cm]
+                )
+                Gc = g3.reshape(N * Dj, 3 * cm)
+                Ac = a3.reshape(N * Dj, 3 * cm)
+                S_sub = S_sub + mm(Ac, Gc)
+        else:
+            g3, a3 = dense_g_a_onehot(Wop, lm_slot, Hop)
+            # rows are (dj, j)-ordered: the 2D flatten is transpose-free
+            # and consistent between A and G, which is all S_sub needs
+            G = g3.reshape(N * Dj, 3 * M)
+            A = a3.reshape(N * Dj, 3 * M)
+            S_sub = mm(A, G)
+        S = jnp.zeros((N, D, N, D), dtype)
+        sub4 = S_sub.reshape(N, Dj, N, Dj).astype(dtype)
+        S = S.at[:, :Dj, :, :Dj].add(-sub4)
+        ar = jnp.arange(N)
+        if op_dtype is not None:
+            # Replace the bf16-contracted DIAGONAL blocks with the exact
+            # f32 self-term sweep: S's diagonal is Hpp - sub with heavy
+            # cancellation (the two terms nearly cancel in well-observed
+            # directions), so bf16 storage error there breaks LM steps
+            # outright (measured: first step rejected at cost 2.9e5),
+            # while off-diagonal blocks have no such cancellation and
+            # tolerate the ~0.5% rounding. One extra VPU sweep.
+            exact = _schur_self_blocks(blocks).astype(dtype)
+            S = S.at[ar, :Dj, ar, :Dj].add(sub4[ar, :, ar, :] - exact)
+        S = S.at[ar, :, ar, :].add(blocks.Hpp)
+        if blocks.C.shape[0] > 0:
+            S = S.at[blocks.ci, :, blocks.cj, :].add(blocks.C)
+            S = S.at[blocks.cj, :, blocks.ci, :].add(
+                jnp.swapaxes(blocks.C, -1, -2)
+            )
+        return S
     else:
         if blocks.ell is not None:
             Pmax = blocks.W.shape[2]
@@ -839,7 +922,8 @@ class CGResult(NamedTuple):
     residual_norm: jnp.ndarray
 
 
-def pcg(blocks: SchurBlocks, b, max_iters: int = 100, tol: float = 1e-8) -> CGResult:
+def pcg(blocks: SchurBlocks, b, max_iters: int = 100, tol: float = 1e-8,
+        S4: jnp.ndarray | None = None) -> CGResult:
     """Preconditioned conjugate gradients on the reduced camera system.
 
     Runs exactly ``max_iters`` iterations under ``lax.scan`` with
@@ -850,8 +934,38 @@ def pcg(blocks: SchurBlocks, b, max_iters: int = 100, tol: float = 1e-8) -> CGRe
     scalar step sizes only (alpha/beta -> 0 freezes x, r, rz; p decays to z
     harmlessly since alpha stays 0), which keeps the loop body at two
     reductions and zero extra array traffic.
-    """
-    P = schur_jacobi_preconditioner(blocks)
+
+    ``S4`` (explicit-S mode): the materialized reduced system from
+    :func:`dense_reduced_system`. The Krylov iterates are numerically
+    IDENTICAL to the matrix-free path (same operator, same SCHUR_JACOBI
+    preconditioner — now read off S's block diagonal for free), but each
+    matvec is one dense (N*D, N*D) einsum instead of ~30 gather/shift ops
+    over the observation bank. Matrix-free CG on this problem class is
+    op-issue-latency bound, not bandwidth bound (measured v5e, 10k lm /
+    60k obs: ~0.58 ms per matvec against a ~5.8 MB S) — materializing S
+    once per LM iteration via the fused one-hot MXU kernel and sweeping
+    CG against it is the single biggest headline-path win (optim.ba
+    gates it as ``explicit_s``)."""
+    if S4 is not None:
+        N, D = b.shape
+        Pd = S4[jnp.arange(N), :, jnp.arange(N), :]  # (N, D, D)
+        eye = jnp.eye(D, dtype=S4.dtype)
+        if blocks.free_pose.ndim == 1:
+            m = jnp.broadcast_to(blocks.free_pose[:, None], (N, D))
+        else:
+            m = blocks.free_pose
+        Pd = m[:, :, None] * Pd * m[:, None, :]
+        Pd = Pd + eye * (1.0 - m)[..., None, :] + 1e-10 * eye
+        P = cho_inverse(Pd)
+
+        def matvec(x):
+            x = _project(x, blocks.free_pose)
+            return _project(
+                jnp.einsum("nimj,mj->ni", S4, x), blocks.free_pose
+            )
+    else:
+        P = schur_jacobi_preconditioner(blocks)
+        matvec = lambda p: schur_matvec(blocks, p)
 
     def apply_P(v):
         return _project(
@@ -871,7 +985,7 @@ def pcg(blocks: SchurBlocks, b, max_iters: int = 100, tol: float = 1e-8) -> CGRe
     def body(state, _):
         x, r, z, p, rz, rr, it = state
         live = rr > thresh_sq
-        Sp = schur_matvec(blocks, p)
+        Sp = matvec(p)
         denom = jnp.vdot(p, Sp)
         alpha = jnp.where(
             live, rz / jnp.where(denom == 0, 1.0, denom), 0.0

@@ -34,6 +34,13 @@ from libwave_tpu.vision.flann import (  # noqa: F401
     build_lsh_index,
     lsh_match,
 )
+from libwave_tpu.vision.flann_float import (  # noqa: F401
+    FloatIndex,
+    FloatIndexParams,
+    build_float_index,
+    exact_l2_top2,
+    float_match,
+)
 from libwave_tpu.vision.matcher import (  # noqa: F401
     MatcherParams,
     find_fundamental_ransac,

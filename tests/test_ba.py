@@ -11,6 +11,8 @@ SPARSE_SCHUR thresholds) and wave_gtsam/tests/gtsam/gtsam_offline_example.cpp
            (gtsam_offline_example.cpp:150,155,170)
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -350,3 +352,90 @@ class TestDenseSchurSolver:
                 problem, gt,
                 BAConfig(solver="dense", dense_max_pose_dim=4),
             )
+
+
+class TestExplicitSPCG:
+    """Explicit-S PCG (materialized reduced system, same Krylov iterates)
+    against matrix-free PCG: iterate-level equivalence, not just
+    same-optimum — the whole point of the path is that it changes the
+    arithmetic layout, not the algorithm."""
+
+    def _init(self, problem, gt):
+        N, M = gt.q.shape[0], gt.lm.shape[0]
+        key = jax.random.key(31)
+        k1, k2, k3 = jax.random.split(key, 3)
+        free = np.asarray(problem.free_pose)[:, None]
+        return BAState(
+            q=so3.quat_boxplus(
+                gt.q, 0.03 * jax.random.normal(k1, (N, 3), gt.p.dtype) * free
+            ),
+            p=gt.p + 0.05 * jax.random.normal(k2, (N, 3), gt.p.dtype) * free,
+            lm=gt.lm + 0.3 * jax.random.normal(k3, (M, 3), gt.p.dtype),
+        )
+
+    def test_iterates_match_matrix_free(self, dataset):
+        problem, gt = ba_from_dataset(dataset)
+        init = self._init(problem, gt)
+        base = BAConfig(max_iterations=8, cg_max_iters=25, cg_tol=1e-10)
+        s_mf, i_mf = jax.jit(
+            lambda pr, st: solve_ba(
+                pr, st, dataclasses.replace(base, explicit_s="never")
+            )
+        )(problem, init)
+        s_ex, i_ex = jax.jit(
+            lambda pr, st: solve_ba(
+                pr, st, dataclasses.replace(base, explicit_s="always")
+            )
+        )(problem, init)
+        # per-iteration cost trajectories agree (same Krylov iterates up
+        # to summation order), not just the final optimum
+        np.testing.assert_allclose(
+            np.asarray(i_ex["costs"]), np.asarray(i_mf["costs"]),
+            rtol=5e-4, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_ex.p), np.asarray(s_mf.p), atol=1e-5
+        )
+        assert int(np.asarray(i_ex["cg_iterations"]).max()) > 0
+
+    def test_chunked_s_matches_full(self, dataset):
+        """Landmark-chunked S accumulation (map-scale path where G never
+        materializes) is exact vs the single-chunk build."""
+        from libwave_tpu.optim import ba as ba_mod
+        from libwave_tpu.optim import schur
+
+        problem, gt = ba_from_dataset(dataset)
+        init = self._init(problem, gt)
+        blocks = ba_mod._linearize_ba(problem, init, 1e-4, None, None)
+        S_full = schur.dense_reduced_system(blocks)
+        N, Dj = blocks.Hpp.shape[0], blocks.W.shape[0] // 3
+        M = blocks.bl.shape[-1]
+        # force ~4 chunks
+        g_bytes = 4 * N * Dj * 3 * M
+        S_chunk = schur.dense_reduced_system(
+            blocks, max_g_bytes=g_bytes / 3.5
+        )
+        np.testing.assert_allclose(
+            np.asarray(S_chunk), np.asarray(S_full), rtol=1e-5, atol=1e-4
+        )
+
+    def test_gate_static_choices(self):
+        from libwave_tpu.optim.ba import _use_explicit_s
+
+        ell = object()
+        cfg = BAConfig(explicit_s="always")
+        assert _use_explicit_s(cfg, 200, 6, 10_000, 4, ell, None)
+        # flat layout (no ELL) and sharded mode stay matrix-free
+        assert not _use_explicit_s(cfg, 200, 6, 10_000, 4, None, None)
+        assert not _use_explicit_s(cfg, 200, 6, 10_000, 4, ell, "dp")
+        # S footprint cap
+        big = BAConfig(explicit_s="always", explicit_max_s_bytes=1e3)
+        assert not _use_explicit_s(big, 200, 6, 10_000, 4, ell, None)
+        assert not _use_explicit_s(
+            BAConfig(explicit_s="never"), 200, 6, 10_000, 4, ell, None
+        )
+        # map-scale M routes auto (but not "always") back to matrix-free:
+        # explicit work is linear in M (measured 100k: 4.0 vs 8.0 iter/s)
+        auto = BAConfig(explicit_s="auto")
+        assert not _use_explicit_s(auto, 400, 6, 100_000, 4, ell, None)
+        assert _use_explicit_s(cfg, 400, 6, 100_000, 4, ell, None)

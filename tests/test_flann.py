@@ -184,3 +184,87 @@ class TestGlobalRelocalization65k:
         # sub-linear candidate generation is the whole point
         mean_cand = float(np.asarray(diag["num_candidates"]).mean())
         assert mean_cand < 0.01 * N2, mean_cand
+
+
+class TestFloatIndexes:
+    """Float-descriptor FLANN analogs (flann_matcher.hpp:39-51 KDTree /
+    KMeans / Composite): planted-neighbor recall vs the exact L2 oracle
+    on SIFT-like descriptor statistics."""
+
+    @staticmethod
+    def _planted_float(rng, n_train=2048, n_query=256, dim=128, noise=0.03):
+        d2 = rng.normal(size=(n_train, dim)).astype(np.float32)
+        d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+        src = rng.choice(n_train, n_query, replace=False)
+        d1 = d2[src] + noise * rng.normal(size=(n_query, dim)).astype(
+            np.float32
+        )
+        return d1.astype(np.float32), d2, src
+
+    def test_exact_matches_numpy_oracle(self, rng):
+        from libwave_tpu.vision import build_float_index, float_match
+        from libwave_tpu.vision import FloatIndexParams
+
+        d1, d2, src = self._planted_float(rng)
+        m1 = jnp.ones(d1.shape[0], bool)
+        m2 = jnp.ones(d2.shape[0], bool)
+        p = FloatIndexParams(method="exact")
+        index = build_float_index(jnp.asarray(d2), m2, p)
+        idx, valid, diag = float_match(jnp.asarray(d1), m1, index, p)
+        # numpy oracle: nearest neighbor + ratio
+        dists = (
+            (d1**2).sum(1)[:, None] + (d2**2).sum(1)[None]
+            - 2 * d1 @ d2.T
+        )
+        nn = dists.argmin(1)
+        np.testing.assert_array_equal(np.asarray(idx), nn)
+        assert float(np.mean(np.asarray(idx) == src)) > 0.99
+        assert bool(np.asarray(valid).any())
+
+    @pytest.mark.parametrize("method", ["kdtree", "kmeans", "composite"])
+    def test_approx_recall(self, rng, method):
+        from libwave_tpu.vision import build_float_index, float_match
+        from libwave_tpu.vision import FloatIndexParams
+
+        d1, d2, src = self._planted_float(rng)
+        m1 = jnp.ones(d1.shape[0], bool)
+        m2 = jnp.ones(d2.shape[0], bool)
+        p = FloatIndexParams(
+            method=method, num_trees=6, key_bits=6, bucket_capacity=96,
+            num_probes=6,
+        )
+        index = build_float_index(jnp.asarray(d2), m2, p)
+        idx, valid, diag = float_match(jnp.asarray(d1), m1, index, p)
+        recall = float(np.mean(np.asarray(idx) == src))
+        # candidate budget is ~(trees+probes)*capacity of 2048 rows; the
+        # planted neighbor must still be found nearly always
+        floor = {"kdtree": 0.85, "kmeans": 0.9, "composite": 0.95}[method]
+        assert recall > floor, f"{method} recall {recall}"
+        # sub-linear: candidates actually inspected stay well below N2
+        assert int(np.asarray(diag["num_candidates"]).max()) < d2.shape[0]
+
+    def test_masked_train_rows_never_match(self, rng):
+        from libwave_tpu.vision import build_float_index, float_match
+        from libwave_tpu.vision import FloatIndexParams
+
+        d1, d2, src = self._planted_float(rng, n_train=512, n_query=64)
+        m2 = np.ones(d2.shape[0], bool)
+        m2[src] = False  # mask out every planted source row
+        p = FloatIndexParams(method="composite", bucket_capacity=64)
+        index = build_float_index(jnp.asarray(d2), jnp.asarray(m2), p)
+        idx, valid, _ = float_match(
+            jnp.asarray(d1), jnp.ones(d1.shape[0], bool), index, p
+        )
+        assert not bool(np.any(np.asarray(idx)[np.asarray(valid)]
+                               == src[np.asarray(valid)]))
+
+    def test_param_validation(self):
+        from libwave_tpu.vision import FloatIndexParams
+
+        with pytest.raises(ConfigError):
+            FloatIndexParams(method="kd").validate()
+        with pytest.raises(ConfigError):
+            FloatIndexParams(key_bits=0).validate()
+        with pytest.raises(ConfigError):
+            FloatIndexParams(ratio_threshold=0.0).validate()
+        FloatIndexParams().validate()
