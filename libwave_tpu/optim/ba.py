@@ -67,6 +67,12 @@ class BAProblem(NamedTuple):
     prior_b: jnp.ndarray = None  # (O*6,)
     prior_q: jnp.ndarray = None  # (O, 4) mean orientations
     prior_p: jnp.ndarray = None  # (O, 3) mean positions
+    # Static covisibility-band plan (schur.BandPlan, registered-static
+    # pytree aux) for the explicit-S build: contracts only the
+    # (pose-run x landmark-range) blocks the covisibility graph
+    # populates. Built host-side via schur.compute_band_plan from the
+    # packed observation bank; None = dense build.
+    bands: object = None
 
     @property
     def num_poses(self) -> int:
@@ -190,7 +196,7 @@ def _use_dense_schur(cfg, N, D, Dj, M, itemsize, axis_name):
     return fits and M <= cfg.dense_max_landmarks
 
 
-def _use_explicit_s(cfg, N, D, M, itemsize, ell, axis_name):
+def _use_explicit_s(cfg, N, D, M, itemsize, ell, axis_name, bands=None):
     """Static choice (trace-time) of the explicit-S PCG matvec: same
     Krylov iterates as matrix-free, gated on structure (pose-ELL,
     single-device, TPU kernel available), the S footprint, and the
@@ -203,7 +209,9 @@ def _use_explicit_s(cfg, N, D, M, itemsize, ell, axis_name):
         return False
     if cfg.explicit_s == "always":
         return True
-    if M > cfg.explicit_max_landmarks:
+    if M > cfg.explicit_max_landmarks and bands is None:
+        # dense explicit work is linear in M; a band plan bounds it by
+        # the covisibility share instead, so banded problems skip the cap
         return False
     from libwave_tpu.ops.segmm import on_tpu_backend
 
@@ -435,12 +443,12 @@ def _lm_iteration(problem: BAProblem, cfg: BAConfig, carry, _,
         S4 = None
         if _use_explicit_s(
             cfg, N, 6, M, jnp.dtype(rhs.dtype).itemsize, problem.ell,
-            axis_name,
+            axis_name, problem.bands,
         ):
             op_dtype = jnp.bfloat16 if cfg.s_op_dtype == "bf16" else None
             S4 = schur.dense_reduced_system(
                 blocks, max_g_bytes=cfg.dense_max_g_bytes,
-                op_dtype=op_dtype,
+                op_dtype=op_dtype, bands=problem.bands,
             )
         cg = schur.pcg(
             blocks, rhs, max_iters=cfg.cg_max_iters, tol=cfg.cg_tol, S4=S4

@@ -155,6 +155,64 @@ def build_ell_layout(lm_idx, num_landmarks) -> EllLayout:
     )
 
 
+import dataclasses as _dataclasses
+
+
+@jax.tree_util.register_static
+@_dataclasses.dataclass(frozen=True)
+class BandPlan:
+    """Static covisibility-band metadata for the explicit-S build.
+
+    ``entries`` is a tuple of ``(c0, c1, ((plo, phi), ...))``: landmark
+    column range [c0, c1) is observed only by poses inside the listed
+    contiguous ranges. Registered static (hashable aux data, no array
+    leaves), so it rides inside a jitted problem pytree and the banded
+    build unrolls at trace time with static slices. Built host-side by
+    :func:`compute_band_plan`; only meaningful when landmark ids carry
+    trajectory locality (any real mapper's creation order).
+    """
+
+    entries: tuple
+
+
+def compute_band_plan(lm_ell, pad_mask, num_poses: int, num_landmarks: int,
+                      chunk_cols: int = 1024, max_ranges: int = 4,
+                      gap_tol: int = 4) -> BandPlan:
+    """Host-side: partition landmark columns into ``chunk_cols``-wide
+    ranges and record, per range, the contiguous pose runs that observe
+    it. The explicit-S build then contracts only (pose-run x column-range)
+    blocks — the TPU-dense form of the sparse Schur structure every SLAM
+    covisibility graph has. Runs separated by <= ``gap_tol`` poses merge
+    (a few zero rows beat another matmul dispatch); if more than
+    ``max_ranges`` runs remain, the smallest gaps merge first. With no
+    locality this degenerates to one full-range entry per chunk — exactly
+    the plain chunked build, never worse."""
+    lm = onp.asarray(lm_ell).reshape(num_poses, -1)
+    valid = onp.asarray(pad_mask).reshape(num_poses, -1) > 0
+    entries = []
+    for c0 in range(0, num_landmarks, chunk_cols):
+        c1 = min(c0 + chunk_cols, num_landmarks)
+        hits = ((lm >= c0) & (lm < c1) & valid).any(axis=1)
+        poses = onp.nonzero(hits)[0]
+        if poses.size == 0:
+            continue
+        # contiguous runs with gap merging
+        breaks = onp.nonzero(onp.diff(poses) > gap_tol + 1)[0]
+        runs = []
+        start = 0
+        for b in breaks:
+            runs.append((int(poses[start]), int(poses[b]) + 1))
+            start = b + 1
+        runs.append((int(poses[start]), int(poses[-1]) + 1))
+        while len(runs) > max_ranges:
+            gaps = [runs[i + 1][0] - runs[i][1] for i in range(len(runs) - 1)]
+            i = int(onp.argmin(gaps))
+            runs[i] = (runs[i][0], runs[i + 1][1])
+            del runs[i + 1]
+        entries.append((c0, c1, tuple(runs)))
+    return BandPlan(entries=tuple(entries))
+
+
 def ell_seg_reduce(vals, ell: EllLayout):
     """Per-landmark sums of ``vals`` (C, K) given the precomputed layout:
     gather into landmark-sorted order, segmented Hillis-Steele up-sweep with
@@ -694,7 +752,8 @@ def _sym3_full(s):
 
 def dense_reduced_system(blocks: SchurBlocks,
                          max_g_bytes: float | None = None,
-                         op_dtype=None) -> jnp.ndarray:
+                         op_dtype=None, bands: BandPlan | None = None,
+                         _force_path: str | None = None) -> jnp.ndarray:
     """Materialize the reduced camera matrix S = Hpp - U Hll^-1 U^T plus
     pose-pose couplings as one dense (N, D, N, D) tensor.
 
@@ -721,7 +780,20 @@ def dense_reduced_system(blocks: SchurBlocks,
     acceptance already polices, and whose fixed point (dx -> 0 as b̃ ->
     0) is unchanged. rhs/back-substitution/cost all stay f32. NOT for
     dense_schur_solve factorizations or marginalization, where S's
-    entries are the product."""
+    entries are the product.
+
+    ``bands`` (kernel path only): a static :class:`BandPlan`. The build
+    then contracts only (pose-run x landmark-column-range) blocks — each
+    range's G/A slices cover just the poses that observe it, the partial
+    products accumulate into static squares of S_sub, and cross blocks
+    between the (<= max_ranges) pose runs of one column range are added
+    explicitly with their transposes. Exact for any plan produced by
+    :func:`compute_band_plan`; work drops from K*M one-hot + (ND)^2*3M
+    contraction to the covisibility band's share of both.
+
+    ``_force_path`` ("kernel" | "xla", tests only) overrides the backend
+    gate so the kernel-path code (banded/chunked builds) is exercised on
+    CPU via the interpret-mode kernel."""
     if blocks.axis_name is not None:
         raise ValueError("dense_reduced_system is single-device only")
     D = blocks.bp.shape[1]
@@ -743,7 +815,11 @@ def dense_reduced_system(blocks: SchurBlocks,
     # work is N*Pmax*M).
     from libwave_tpu.ops.segmm import dense_g_a_onehot, on_tpu_backend
 
-    if blocks.ell is not None and on_tpu_backend():
+    use_kernel = blocks.ell is not None and (
+        _force_path == "kernel"
+        or (_force_path is None and on_tpu_backend())
+    )
+    if use_kernel:
 
         Pmax = blocks.W.shape[2]
         lm_slot = blocks.lm_idx.reshape(N, Pmax)
@@ -767,7 +843,35 @@ def dense_reduced_system(blocks: SchurBlocks,
             precision=mm_prec,
         )
         g_bytes = jnp.dtype(wdtype).itemsize * N * Dj * 3 * M
-        if max_g_bytes is not None and g_bytes > max_g_bytes:
+        if bands is not None:
+            # covisibility-banded build: per landmark-column range, G/A
+            # slices over just its observing pose runs; static-slice
+            # accumulation into S_sub (squares + cross blocks)
+            S_sub = jnp.zeros((N * Dj, N * Dj), jnp.float32)
+            for (c0, c1, ranges) in bands.entries:
+                Hc = Hop[:, c0:c1]
+                ga = []
+                for (plo, phi) in ranges:
+                    g3, a3 = dense_g_a_onehot(
+                        Wop[:, plo:phi], lm_slot[plo:phi] - c0, Hc
+                    )
+                    R = phi - plo
+                    ga.append(
+                        ((plo, phi),
+                         g3.reshape(R * Dj, -1),
+                         a3.reshape(R * Dj, -1))
+                    )
+                for i, ((alo, ahi), Gi, Ai) in enumerate(ga):
+                    for ((blo, bhi), Gj, Aj) in ga[i:]:
+                        blk = mm(Ai, Gj)
+                        S_sub = S_sub.at[
+                            alo * Dj:ahi * Dj, blo * Dj:bhi * Dj
+                        ].add(blk)
+                        if (blo, bhi) != (alo, ahi):
+                            S_sub = S_sub.at[
+                                blo * Dj:bhi * Dj, alo * Dj:ahi * Dj
+                            ].add(blk.T)
+        elif max_g_bytes is not None and g_bytes > max_g_bytes:
             # chunked: S_sub accumulates, G/A chunks are transient
             chunks = int(-(-g_bytes // max_g_bytes))
             CM = -(-M // chunks)

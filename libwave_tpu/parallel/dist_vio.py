@@ -159,7 +159,7 @@ def solve_vio_sharded(
 
     out_info = {
         "initial_cost": rep, "final_cost": rep, "costs": rep,
-        "accepted": rep, "cg_iterations": rep,
+        "accepted": rep, "cg_iterations": rep, "final_lambda": rep,
     }
     mapped = jax.jit(
         jax.shard_map(

@@ -37,6 +37,11 @@ from libwave_tpu.utils.precision import allow_explicit_f64, f32_matmuls
 
 D = 15  # keyframe tangent dim: [pose(6), vel(3), bg(3), ba(3)]
 
+# Behind-camera penalty per observation — see vio_cost for the sizing
+# rationale (must dominate any single-step decrease of the other factors;
+# the cost total accumulates in f64 so this magnitude stays resolvable).
+_CHEIRALITY_PENALTY = 1e10
+
 # permit explicit f64 arrays (mixed-precision stiff-Hessian path) without
 # changing any implicit/default dtype behavior — see utils.precision
 allow_explicit_f64()
@@ -297,24 +302,43 @@ def vio_cost(problem: VIOProblem, state: VIOState,
     wf = problem.obs_weight.reshape(nb, -1)
     wv = wf * valid.astype(r.dtype)
     sq_white = (r[0] * r[0] + r[1] * r[1]) / problem.pixel_sigma**2
+    # The TOTAL accumulates in f64 (scalar adds — free): cost components
+    # span ~10 decades when cheirality penalties or stiff-IMU init
+    # residuals are present, and LM's accept test needs to resolve
+    # ~1e1-scale decreases against them (f32 resolution at 1e9 is ~1e2 —
+    # acceptance would be decided by rounding).
     if huber_delta is None:
-        c = 0.5 * jnp.sum(wv * sq_white)
+        c = 0.5 * jnp.sum(wv * sq_white).astype(jnp.float64)
     else:
-        c = jnp.sum(wv * _huber_rho(sq_white, huber_delta))
-    # behind-camera observations carry a fixed penalty (see ba_cost)
-    c = c + 1e6 * jnp.sum(wf * (~valid).astype(r.dtype))
+        c = jnp.sum(wv * _huber_rho(sq_white, huber_delta)).astype(
+            jnp.float64
+        )
+    # Behind-camera observations carry a fixed penalty per observation.
+    # Its magnitude is a DESIGN constraint, not a tuning knob: it must
+    # exceed any cost decrease a single LM step can otherwise buy, or the
+    # accept test will trade landmarks pushed behind cameras for progress
+    # on other factors — and the penalty's zero gradient makes that
+    # near-irreversible, so the window ends with trapped invalid
+    # landmarks and the marginalized prior inherits the damage. Measured
+    # (20 Hz stiff windows, pass-2 inits with ~7e8 stitched-IMU residual):
+    # at 1e6 the solver accepted steps trading ~24 crossings for the IMU
+    # relaxation and chained windows collapsed (ATE 1.55 m); at 1e10 no
+    # crossing is ever worth it and LM finds the damped path instead.
+    c = c + _CHEIRALITY_PENALTY * jnp.sum(
+        wf * (~valid).astype(r.dtype)
+    ).astype(jnp.float64)
     if axis_name is not None:
         c = jax.lax.psum(c, axis_name)
     r_imu, _, _ = _imu_linearize(problem, state, axis_name)
-    c = c + 0.5 * jnp.sum(r_imu * r_imu)
+    c = c + 0.5 * jnp.sum(r_imu * r_imu).astype(jnp.float64)
     r_bw, _, _ = _bias_walk_linearize(problem, state)
-    c = c + 0.5 * jnp.sum(r_bw * r_bw)
+    c = c + 0.5 * jnp.sum(r_bw * r_bw).astype(jnp.float64)
     if problem.bias_prior_sqrt_info is not None:
         si = problem.bias_prior_sqrt_info
         rp = jnp.concatenate([state.bg, state.ba], axis=-1) * si
-        c = c + 0.5 * jnp.sum(rp * rp)
+        c = c + 0.5 * jnp.sum(rp * rp).astype(jnp.float64)
     if problem.prior_Lambda is not None:
-        c = c + _prior_cost(problem, state)
+        c = c + _prior_cost(problem, state).astype(jnp.float64)
     return c
 
 
@@ -552,12 +576,20 @@ def _vio_iteration(problem: VIOProblem, cfg: VIOConfig, carry, _,
 @f32_matmuls
 def solve_vio(problem: VIOProblem, state: VIOState,
               cfg: VIOConfig = VIOConfig(),
-              axis_name: str | None = None):
+              axis_name: str | None = None, lam0=None):
     """Run the full VIO LM optimization (jit-able). ``axis_name``: sharded
     ELL mode inside shard_map — see
-    :func:`libwave_tpu.parallel.dist_vio.solve_vio_sharded`."""
+    :func:`libwave_tpu.parallel.dist_vio.solve_vio_sharded`.
+
+    ``lam0`` (traced scalar, optional): starting trust-region lambda —
+    lets callers CHUNK the solve into several shorter jitted scans with a
+    host-side convergence check between them (the windowed pipeline's
+    adaptive-iteration mode: converged windows stop paying f64
+    factorizations) without resetting the lambda adaptation."""
     cost0 = vio_cost(problem, state, axis_name, cfg.huber_delta)
-    carry = (state, jnp.asarray(cfg.init_lambda, state.p.dtype), cost0)
+    if lam0 is None:
+        lam0 = jnp.asarray(cfg.init_lambda, state.p.dtype)
+    carry = (state, jnp.asarray(lam0, state.p.dtype), cost0)
     carry, (costs, accepts, cg_iters) = jax.lax.scan(
         lambda c, x: _vio_iteration(problem, cfg, c, x, axis_name),
         carry, None, length=cfg.max_iterations,
@@ -569,6 +601,7 @@ def solve_vio(problem: VIOProblem, state: VIOState,
         "costs": costs,
         "accepted": accepts,
         "cg_iterations": cg_iters,
+        "final_lambda": lam,
     }
 
 

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 import time as _time
 
 import jax
@@ -148,6 +149,22 @@ class WindowedVIOParams:
     # "float64" forces the widened path. The widening also applies to the
     # carried marginal prior so its weak directions survive the chain.
     hessian_dtype: str | None = "auto"
+    # Adaptive iteration allocation: each window solves in chunks of
+    # ``solve_iters_chunk`` LM iterations (one jitted scan per chunk, the
+    # trust-region lambda carried across chunks) up to
+    # ``solve_chunks_max`` chunks, stopping early once a whole chunk
+    # improves the cost by less than ``solve_rel_tol`` relative. Why:
+    # on stiff (f64-widened) chains each iteration pays a ~0.2 s f64
+    # factorization; pass-1 windows converge in ~20 iterations while
+    # pass-2 windows (initialized from the previous pass's stitched
+    # estimates, whose whitened IMU discontinuities start the cost at
+    # ~1e9) legitimately need ~40 — a fixed budget either wastes half
+    # the factorizations or truncates the damped descent (measured: 25
+    # fixed iterations left pass-2 windows unconverged, ATE 0.16 vs
+    # 0.05 at 40 on the 45 s stiff sequence).
+    solve_iters_chunk: int = 12
+    solve_chunks_max: int = 4
+    solve_rel_tol: float = 1e-3
     # Window-padding bucketing for heterogeneous sequences: every window
     # pads to common (landmark-count, obs-per-pose, shift-pass) dims so
     # solves share executables; with a single global bucket one dense
@@ -425,7 +442,68 @@ def run_euroc_vio_windowed(
         cfg = default_vio_config(params)
     if hdt is not None and cfg.hessian_dtype is None:
         cfg = dataclasses.replace(cfg, hessian_dtype=hdt)
-    solve = jax.jit(lambda pr, st: solve_vio(pr, st, cfg))
+    # chunked adaptive iterations (see WindowedVIOParams): the jitted
+    # chunk runs solve_iters_chunk LM iterations; the host loop in
+    # _solve_adaptive re-invokes it (lambda carried) until a chunk stops
+    # paying or the chunk budget is exhausted
+    cfg_chunk = dataclasses.replace(
+        cfg, max_iterations=wparams.solve_iters_chunk
+    )
+    solve_chunk = jax.jit(
+        lambda pr, st, lam: solve_vio(pr, st, cfg_chunk, lam0=lam)
+    )
+
+    def solve(pr, st):
+        lam = cfg.init_lambda
+        info = None
+        prev = None
+        for _ in range(max(wparams.solve_chunks_max, 1)):
+            st, ci = solve_chunk(pr, st, lam)
+            lam = ci["final_lambda"]
+            cost = float(ci["final_cost"])
+            if info is None:
+                info = dict(ci)
+                prev = float(ci["initial_cost"])
+            else:
+                info["final_cost"] = ci["final_cost"]
+                info["accepted"] = jnp.concatenate(
+                    [info["accepted"], ci["accepted"]]
+                )
+                info["costs"] = jnp.concatenate(
+                    [info["costs"], ci["costs"]]
+                )
+            if prev - cost <= wparams.solve_rel_tol * abs(cost):
+                break
+            prev = cost
+        return st, info
+
+    # jitted per-component cost decomposition for WAVE_DEBUG_WINDOWS
+    @jax.jit
+    def _dbg_parts(pr, st):
+        from libwave_tpu.optim.reprojection import (
+            reprojection_residual_ell as _rre,
+        )
+        from libwave_tpu.pipelines import vio as _vio
+
+        q_cam = _vio._camera_quats(pr, st.q)
+        r, valid = _rre(
+            pr.K, q_cam, st.p, st.lm,
+            pr.lm_idx.reshape(W, -1),
+            pr.uv.T.reshape(2, W, -1),
+        )
+        wf = pr.obs_weight.reshape(W, -1)
+        n_viol = jnp.sum(wf * (~valid))
+        wv = wf * valid
+        c_vis = 0.5 * jnp.sum(
+            wv * (r[0] ** 2 + r[1] ** 2) / params.pixel_sigma**2
+        )
+        ri, _, _ = _vio._imu_linearize(pr, st, None)
+        c_imu = 0.5 * jnp.sum(ri * ri)
+        c_pri = (
+            _vio._prior_cost(pr, st)
+            if pr.prior_Lambda is not None else jnp.float32(0)
+        )
+        return n_viol, c_vis, c_imu, c_pri
 
     P = O * D
     prior_Lambda = np.zeros((P, P))
@@ -685,6 +763,23 @@ def run_euroc_vio_windowed(
         window_times.append(_time.perf_counter() - t0)
         t_solve += window_times[-1]
         window_costs.append(float(info["final_cost"]))
+        if os.environ.get("WAVE_DEBUG_WINDOWS"):
+            acc = np.asarray(info["accepted"]).astype(int)
+            dp_move = float(
+                np.abs(np.asarray(state.p)[:nreal] - p0[:nreal]).max()
+            )
+            v0_, cv0, ci0, cp0 = map(float, _dbg_parts(problem, state0))
+            v1_, cv1, ci1, cp1 = map(float, _dbg_parts(problem, state))
+            print(
+                f"[w {pass_idx}:{wi}] cost0 {float(info['initial_cost']):.4g}"
+                f" cost {window_costs[-1]:.4g} acc {acc.sum()}/{len(acc)}"
+                f" nobs {int((weight > 0).sum())} max|dp| {dp_move:.3f}\n"
+                f"   init: viol {v0_:.0f} vis {cv0:.4g} imu {ci0:.4g}"
+                f" prior {cp0:.4g}\n"
+                f"   final: viol {v1_:.0f} vis {cv1:.4g} imu {ci1:.4g}"
+                f" prior {cp1:.4g}",
+                file=sys.stderr, flush=True,
+            )
 
         if marg:
             # the whole window re-estimated (overlap refined by the prior)
@@ -748,6 +843,14 @@ def run_euroc_vio_windowed(
             )
             excl_pairs = excl_next
             t_marg += _time.perf_counter() - tm0
+            if os.environ.get("WAVE_DEBUG_WINDOWS"):
+                ww = np.linalg.eigvalsh(prior_Lambda)
+                print(
+                    f"[m {pass_idx}:{wi}] eig [{ww.min():.3g},"
+                    f" {ww.max():.3g}] n<=0 {(ww <= 0).sum()}"
+                    f" |b| {np.linalg.norm(prior_b):.4g}",
+                    file=sys.stderr, flush=True,
+                )
 
         if ckpt_path is not None:
             costs_arr = np.zeros(len(starts))

@@ -400,23 +400,62 @@ class TestExplicitSPCG:
 
     def test_chunked_s_matches_full(self, dataset):
         """Landmark-chunked S accumulation (map-scale path where G never
-        materializes) is exact vs the single-chunk build."""
+        materializes) is exact vs the single-chunk build — both forced
+        through the kernel code path (interpret mode on CPU)."""
         from libwave_tpu.optim import ba as ba_mod
         from libwave_tpu.optim import schur
 
         problem, gt = ba_from_dataset(dataset)
         init = self._init(problem, gt)
         blocks = ba_mod._linearize_ba(problem, init, 1e-4, None, None)
-        S_full = schur.dense_reduced_system(blocks)
+        S_full = np.asarray(schur.dense_reduced_system(blocks))
+        # f32 summation-order noise scales with the largest entries
+        # (~1e6 here), not with each entry — compare against ||S||
+        tol = 2e-5 * np.abs(S_full).max()
+        S_kernel = schur.dense_reduced_system(blocks, _force_path="kernel")
+        np.testing.assert_allclose(
+            np.asarray(S_kernel), S_full, rtol=1e-4, atol=tol
+        )
         N, Dj = blocks.Hpp.shape[0], blocks.W.shape[0] // 3
         M = blocks.bl.shape[-1]
-        # force ~4 chunks
+        # force ~4 chunks through the kernel path
         g_bytes = 4 * N * Dj * 3 * M
         S_chunk = schur.dense_reduced_system(
-            blocks, max_g_bytes=g_bytes / 3.5
+            blocks, max_g_bytes=g_bytes / 3.5, _force_path="kernel"
         )
         np.testing.assert_allclose(
-            np.asarray(S_chunk), np.asarray(S_full), rtol=1e-5, atol=1e-4
+            np.asarray(S_chunk), S_full, rtol=1e-4, atol=tol
+        )
+
+    def test_banded_s_matches_full(self, dataset):
+        """Covisibility-banded S build (static BandPlan from the packed
+        bank) is exact vs the dense build, including cross blocks between
+        multiple pose runs of one landmark-column range."""
+        from libwave_tpu.optim import ba as ba_mod
+        from libwave_tpu.optim import schur
+
+        problem, gt = ba_from_dataset(dataset)
+        init = self._init(problem, gt)
+        blocks = ba_mod._linearize_ba(problem, init, 1e-4, None, None)
+        N, Dj = blocks.Hpp.shape[0], blocks.W.shape[0] // 3
+        M = blocks.bl.shape[-1]
+        Pmax = blocks.W.shape[2]
+        pad_mask = (np.asarray(problem.weight) > 0).astype(np.float64)
+        # small chunks + tight run merging so several entries (and the
+        # multi-run cross-block path) are exercised on this problem
+        bands = schur.compute_band_plan(
+            np.asarray(problem.lm_idx), pad_mask, N, M,
+            chunk_cols=32, max_ranges=3, gap_tol=1,
+        )
+        assert len(bands.entries) > 1
+        assert any(len(r) > 1 for (_, _, r) in bands.entries)
+        S_full = np.asarray(schur.dense_reduced_system(blocks))
+        tol = 2e-5 * np.abs(S_full).max()
+        S_band = schur.dense_reduced_system(
+            blocks, bands=bands, _force_path="kernel"
+        )
+        np.testing.assert_allclose(
+            np.asarray(S_band), S_full, rtol=1e-4, atol=tol
         )
 
     def test_gate_static_choices(self):
