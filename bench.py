@@ -975,10 +975,17 @@ def bench_euroc_mh01_scale():
         # (WindowedVIOParams.hessian_dtype="auto" -> VIOConfig
         # .hessian_dtype="float64"), retiring the round-4 10x IMU noise
         # inflation workaround.
+        # passes=1: the 20 Hz stiff chain is IMU-pinned and converges in
+        # one pass — with the pass-2 seam-gauge alignment fix, a second
+        # pass measures ATE +6% / RPE -54% on the 90 s prefix (0.0931 ->
+        # 0.0985 m ATE, 0.0026 -> 0.0012 m RPE) at ~2x the wall; iterated
+        # smoothing's accuracy win lives on weak-geometry / low-rate
+        # chains (euroc_long at 5 Hz: 0.27 -> 0.023 m with passes=2,
+        # KITTI drive_0036: 5.9 -> 1.79 m with 3), both on record.
         est, rep = run_euroc_vio_windowed(
             root, EurocVIOParams(),
             WindowedVIOParams(window=120, overlap=12, mode="marginalize",
-                              passes=2),
+                              passes=1),
         )
     peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     return {
@@ -1454,9 +1461,10 @@ def main():
     # artifact is flushed after EVERY phase, (b) the headline stdout line
     # prints as soon as the headline + CPU denominator exist and again at
     # the end, (c) phases that would start past the budget are skipped and
-    # recorded. Default 900 s of *phase* budget keeps worst-case total
-    # (budget + one overshooting phase) well under the driver's window.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    # recorded. Default 1080 s of *phase* budget keeps worst-case total
+    # (budget + one overshooting phase, empirically <= ~250 s) near
+    # ~22 min — inside the driver's observed ~29 min window with margin.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1080"))
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
     )
@@ -1530,15 +1538,17 @@ def main():
         ("euroc_mh01_scale", bench_euroc_mh01_scale, ()),
         ("euroc_long", bench_euroc_long, ()),
         ("frontend_batched", bench_frontend_batched, ()),
-        ("vio", bench_vio, ()),
-        ("euroc", bench_euroc, ()),
-        ("ba_batched", bench_ba_batched, ()),
-        ("frontend", bench_frontend, ()),
-        ("icp", bench_icp, ()),
-        ("pixels", bench_pixels, ()),
-        ("lsh", bench_lsh, ()),
-        ("ba_large", bench_ba_large, ()),
+        # per-op latency evidence for the headline utilization floor
+        # (VERDICT r4 item 4) ranks above the remaining parity phases
         ("matvec_profile", bench_matvec_profile, ()),
+        ("ba_batched", bench_ba_batched, ()),
+        ("vio", bench_vio, ()),
+        ("icp", bench_icp, ()),
+        ("lsh", bench_lsh, ()),
+        ("euroc", bench_euroc, ()),
+        ("ba_large", bench_ba_large, ()),
+        ("frontend", bench_frontend, ()),
+        ("pixels", bench_pixels, ()),
         ("pp_overlap", bench_pp_overlap, ()),
     ]
     for name, fn, args in phases:

@@ -623,6 +623,7 @@ def run_euroc_vio_windowed(
     # sequential build-and-solve — each window's initialization chains off
     # the previous window's solution; later passes (iterated fixed-lag
     # smoothing) re-run the chain initialized from the previous pass
+    prev_q = prev_p = prev_v = prev_bg = prev_ba = None
     for pass_idx in range(resumed_pass, n_passes):
       if pass_idx > resumed_pass:  # fresh pass state (estimates carry)
         solved_upto = 1
@@ -631,6 +632,15 @@ def run_euroc_vio_windowed(
         prior_Lambda = prior0_Lambda.copy()
         prior_b = np.zeros(P)
         window_costs = []
+      if pass_idx >= 1:
+        # Snapshot the previous pass's estimates: later windows initialize
+        # their tails from these (gauge-aligned at the seam, below) while
+        # ``est_*`` is progressively overwritten by THIS pass's solutions.
+        # (On a checkpoint resume into a later pass, ``est_*`` may already
+        # be partially this-pass — the snapshot is then approximate for
+        # the already-solved prefix, which is never read as tail init.)
+        prev_q, prev_p, prev_v = est_q.copy(), est_p.copy(), est_v.copy()
+        prev_bg, prev_ba = est_bg.copy(), est_ba.copy()
       for wi, s in enumerate(starts):
         if wi < windows_done:
             continue  # already solved (checkpoint resume)
@@ -660,14 +670,53 @@ def run_euroc_vio_windowed(
             bg0[: a - s] = est_bg[s:a]
             ba0[: a - s] = est_ba[s:a]
         else:
-            def _w_init(arr):
-                out = np.concatenate([
-                    arr[s : s + nreal],
-                    np.tile(arr[s + nreal - 1], (W - nreal, 1)),
+            # Iterated-smoothing init: the head ([0, head)) comes from THIS
+            # pass's chain; the tail comes from the PREVIOUS pass's
+            # estimates — but gauge-aligned first. The two passes drift in
+            # the unobservable directions (global position + yaw)
+            # independently, so raw prev-pass tails sit a growing seam
+            # discontinuity away from the pass-2 head; with stiff IMU
+            # whitening (~2.6e4 at 20 Hz) a centimeter seam starts the
+            # window at cost ~1e9 pulling against a ~7e8-information
+            # marginal prior — the long-chain pass-2 regression. A 4-DoF
+            # (yaw about gravity + translation) transform computed at the
+            # seam frame maps the prev-pass tail into this pass's gauge,
+            # keeping its *shape* (the future information iterated
+            # smoothing is after) while removing the seam entirely.
+            a0 = s + min(head, nreal) - 1  # seam: last this-pass frame
+            R2 = _quat_to_rot_np(est_q[a0])
+            R1 = _quat_to_rot_np(prev_q[a0])
+            R_rel = R2 @ R1.T
+            dyaw = np.arctan2(R_rel[1, 0], R_rel[0, 0])
+            cz, sz = np.cos(dyaw), np.sin(dyaw)
+            Rz = np.array([[cz, -sz, 0.0], [sz, cz, 0.0], [0.0, 0.0, 1.0]])
+            qz = np.array(
+                [np.cos(dyaw / 2), 0.0, 0.0, np.sin(dyaw / 2)]
+            )
+            dp = est_p[a0] - Rz @ prev_p[a0]
+
+            def _tail(arr, rot=None, shift=None, quat=False):
+                seg = arr[s : s + nreal].copy()
+                if quat:
+                    seg = np.stack([_quat_mult_np(qz, qk) for qk in seg])
+                    seg /= np.linalg.norm(seg, axis=1, keepdims=True)
+                elif rot is not None:
+                    seg = seg @ rot.T
+                    if shift is not None:
+                        seg = seg + shift
+                return np.concatenate([
+                    seg, np.tile(seg[-1], (W - nreal, 1))
                 ])
-                return out
-            q0, p0, v0 = _w_init(est_q), _w_init(est_p), _w_init(est_v)
-            bg0, ba0 = _w_init(est_bg), _w_init(est_ba)
+            q0 = _tail(prev_q, quat=True)
+            p0 = _tail(prev_p, rot=Rz, shift=dp)
+            v0 = _tail(prev_v, rot=Rz)
+            bg0, ba0 = _tail(prev_bg), _tail(prev_ba)
+            h = min(head, nreal)
+            q0[:h] = est_q[s : s + h]
+            p0[:h] = est_p[s : s + h]
+            v0[:h] = est_v[s : s + h]
+            bg0[:h] = est_bg[s : s + h]
+            ba0[:h] = est_ba[s : s + h]
 
         # local triangulation + gating off the initialized chain
         P_mats = _camera_P_mats(q0, p0, Kmat, qbc)
